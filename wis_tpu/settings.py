@@ -1,0 +1,170 @@
+"""Environment-driven configuration.
+
+Mirrors the reference settings surface (reference settings.py:6-82) —
+same env-var names, case-insensitive, no prefix — plus TPU-specific knobs
+that replace the reference's CUDA VRAM autodetection (reference
+main.py:234-302) with a static HBM residency/compile-budget model.
+
+Also preserves the reference's whole-file override hook: if a module named
+``custom_settings`` is importable and defines ``get_api_settings``, it wins
+(reference main.py:68-77).
+
+pydantic-settings is not available in this image, so env parsing is done
+explicitly on top of a plain pydantic model (same semantics: every field is
+settable by an env var of the same name, case-insensitive).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+from typing import List, Optional
+
+from pydantic import BaseModel
+
+
+def _coerce(raw: str, annotation) -> object:
+    """Parse an env-var string into the field's type (pydantic-settings rules)."""
+    if annotation is bool:
+        return raw.strip().lower() in ("1", "true", "yes", "on", "t", "y")
+    if annotation is int:
+        return int(raw)
+    if annotation is float:
+        return float(raw)
+    if annotation in (List[str], list):
+        raw = raw.strip()
+        if raw.startswith("["):
+            return json.loads(raw)
+        return [s.strip() for s in raw.split(",") if s.strip()]
+    return raw
+
+
+class APISettings(BaseModel):
+    # ------------------------------------------------------------------ #
+    # Project metadata (reference settings.py:8-10)
+    # ------------------------------------------------------------------ #
+    name: str = "Willow Inference Server (TPU)"
+    description: str = "High Performance Language Inference API — TPU-native"
+    version: str = "1.0"
+
+    # ------------------------------------------------------------------ #
+    # ASR decoding defaults (reference settings.py:12-26)
+    # ------------------------------------------------------------------ #
+    #: default beam size — 1 is greedy
+    beam_size: int = 1
+    #: beam size for long transcriptions ("long mode")
+    long_beam_size: int = 3
+    #: audio duration (ms) at/above which long mode activates
+    long_beam_size_threshold: int = 12000
+    #: default language
+    language: str = "en"
+    #: detect language by default?
+    detect_language: bool = False
+
+    # ------------------------------------------------------------------ #
+    # Model residency (reference settings.py:28-38). On TPU all sizes fit
+    # in one v5e chip's HBM in bf16 (~8 GB total weights), so preloading
+    # everything is cheap; the flags are honored for API compat.
+    # ------------------------------------------------------------------ #
+    preload_all_models: bool = False
+    preload_whisper_model_tiny: bool = True
+    preload_whisper_model_base: bool = True
+    preload_whisper_model_small: bool = True
+    preload_whisper_model_medium: bool = True
+    preload_whisper_model_large: bool = True
+
+    #: default whisper model: tiny | base | small | medium | large
+    whisper_model_default: str = "medium"
+
+    # ------------------------------------------------------------------ #
+    # Long-form chunking (reference settings.py:41-53)
+    # ------------------------------------------------------------------ #
+    support_chunking: bool = True
+    #: max chunks decoded on-device at once; on TPU this is the static
+    #: batch bucket for the long-form path rather than a VRAM guess
+    concurrent_gpu_chunks: int = 4
+
+    # ------------------------------------------------------------------ #
+    # Speaker verification (reference settings.py:55-59)
+    # ------------------------------------------------------------------ #
+    support_sv: bool = False
+    sv_threshold: float = 0.75
+    #: directory of enrolled speaker embeddings (<name>.npy)
+    sv_speaker_dir: str = "speakers/voice_auth"
+
+    # ------------------------------------------------------------------ #
+    # Serving (reference settings.py:64-74)
+    # ------------------------------------------------------------------ #
+    cors_allowed_origins: List[str] = []
+    basic_auth_user: Optional[str] = None
+    basic_auth_pass: Optional[str] = None
+    aiortc_debug: bool = False
+    #: UDP port range for WebRTC media (reference main.py:141-184 pins
+    #: ephemeral ports; here it is plain configuration, not a monkey-patch)
+    rtc_port_start: int = 10000
+    rtc_port_end: int = 10050
+
+    # ------------------------------------------------------------------ #
+    # TPU-specific — replaces CUDA device probing (reference main.py:234-302)
+    # ------------------------------------------------------------------ #
+    #: computation dtype for model weights/activations
+    dtype: str = "bfloat16"
+    #: static HBM budget per chip in bytes (v5e = 16 GiB); residency
+    #: decisions are computed against this instead of runtime VRAM probes
+    hbm_budget_bytes: int = 16 * 1024**3
+    #: batch-size buckets the decoder is compiled for; requests are padded
+    #: up to the nearest bucket (dynamic batcher)
+    batch_buckets: List[str] = ["1", "2", "4", "8"]
+    #: hard cap on generated tokens per 30 s window
+    max_decode_tokens: int = 224
+    #: directory holding converted model weights (<size>/ with params.npz
+    #: or HF safetensors); missing weights fall back to seeded random init
+    model_dir: str = "models"
+    #: number of warmup inferences per preloaded model (reference
+    #: main.py:480-511 runs 3)
+    warmup_iterations: int = 1
+    #: mesh axis layout: "replica" data-parallel replicas (the TPU analog
+    #: of CTranslate2 device_index fan-out) and optional tensor parallelism
+    mesh_replica_axis: int = -1  # -1 = all local devices
+    mesh_tensor_axis: int = 1
+
+    #: dynamic batcher window (s): how long to hold a request open for
+    #: coalescing before dispatch
+    batch_window_s: float = 0.004
+    #: max concurrent compiled programs kept hot per model
+    compile_cache_max: int = 32
+
+    #: TTS speaker-latent store directory (reference xtts/main.py:185-198)
+    xtts_speaker_dir: str = "speakers/xtts"
+    #: default TTS decoder chunk size in tokens (reference xtts/main.py:243)
+    tts_stream_chunk_size: int = 20
+
+    def batch_bucket_list(self) -> List[int]:
+        return sorted(int(b) for b in self.batch_buckets)
+
+
+def _settings_from_env() -> APISettings:
+    env = {k.lower(): v for k, v in os.environ.items()}
+    kwargs = {}
+    for field_name, field in APISettings.model_fields.items():
+        if field_name in env:
+            try:
+                kwargs[field_name] = _coerce(env[field_name], field.annotation)
+            except (ValueError, json.JSONDecodeError):
+                kwargs[field_name] = env[field_name]
+    return APISettings(**kwargs)
+
+
+@lru_cache()
+def get_api_settings() -> APISettings:
+    """Return process-wide settings, honoring the custom_settings override
+    hook (reference main.py:68-77)."""
+    try:
+        import custom_settings  # type: ignore
+
+        if hasattr(custom_settings, "get_api_settings"):
+            return custom_settings.get_api_settings()
+    except ImportError:
+        pass
+    return _settings_from_env()

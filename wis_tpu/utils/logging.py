@@ -1,0 +1,20 @@
+"""Logging setup.
+
+The reference piggybacks on gunicorn's handlers and a LOG_LEVEL env var
+(reference main.py:63-66, entrypoint.sh:5). Standalone here: one root
+configurator honoring the same env var.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+
+def configure_logging(level: str | None = None) -> logging.Logger:
+    level = (level or os.environ.get("LOG_LEVEL", "info")).upper()
+    logging.basicConfig(
+        level=getattr(logging, level, logging.INFO),
+        format="[%(asctime)s] [%(name)s] [%(levelname)s] %(message)s",
+    )
+    return logging.getLogger("wis_tpu")
