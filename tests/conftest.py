@@ -16,7 +16,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import pathlib
 
+import jax
 import pytest
+
+# This JAX build's default matmul precision truncates inputs to bf16 even on
+# CPU; numeric-parity tests compare f32 math, so force full precision here.
+# Production code controls precision explicitly where it matters.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 REFERENCE_DIR = pathlib.Path("/root/reference")
 

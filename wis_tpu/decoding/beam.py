@@ -1,0 +1,187 @@
+"""KV-cached beam-search / greedy decoding under jit.
+
+Replaces CTranslate2's C++ beam-search decoder (reference main.py:687-693:
+`whisper_model.generate(features, prompts, beam_size, ...)`) with a single
+compiled XLA program per (model, beam, batch-bucket): encoder → cross-KV
+precompute → prompt prefill → `lax.while_loop` of single-token steps with
+early exit once every beam has emitted EOT.
+
+TPU-first choices (SURVEY.md §7 "hard parts"):
+- **Static shapes everywhere**: batch is padded to a bucket, the token
+  budget is a static bound; the *runtime* token cap is a traced scalar in
+  the loop condition so short utterances exit early without recompiling.
+- **One dispatch per request**: the entire pipeline is one jit program —
+  no per-token Python, no host↔device ping-pong (the reference pays a
+  Python→C++ boundary per batch, main.py:676-693).
+- **Beam state is data, not control flow**: finished beams are masked to
+  propagate EOT with zero score delta; the cache is reordered with a
+  batched gather.
+- Greedy is the K=1 special case of the same program.
+
+Length normalization follows CTranslate2's default (`length_penalty=1`):
+final beam ranking divides summed logprobs by emitted length.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wis_tpu.models.whisper.config import WhisperConfig
+from wis_tpu.models.whisper.model import (
+    DecoderCache,
+    cross_kv,
+    decode_step,
+    encode,
+    prefill,
+)
+from wis_tpu.models.whisper.tokenizer import EOT
+
+NEG_INF = -1e30
+
+
+class GenerateResult(NamedTuple):
+    tokens: jnp.ndarray  # (B, K, max_new) int32, EOT-padded
+    lengths: jnp.ndarray  # (B, K) int32 — emitted tokens incl. EOT
+    scores: jnp.ndarray  # (B, K) f32 — length-normalized logprob
+    best: jnp.ndarray  # (B,) int32 — argmax beam per sequence
+
+
+class _State(NamedTuple):
+    t: jnp.ndarray  # () int32 — tokens emitted so far
+    tokens: jnp.ndarray  # (B, K) int32 — last token per beam
+    sum_lp: jnp.ndarray  # (B, K) f32
+    finished: jnp.ndarray  # (B, K) bool
+    out: jnp.ndarray  # (B, K, max_new) int32
+    out_len: jnp.ndarray  # (B, K) int32
+    cache: DecoderCache
+
+
+def _suppress_mask(n_vocab: int, suppress: Tuple[int, ...]) -> np.ndarray:
+    m = np.zeros((n_vocab,), dtype=np.float32)
+    m[list(suppress)] = NEG_INF
+    return m
+
+
+def build_generate(
+    cfg: WhisperConfig,
+    *,
+    beam_size: int,
+    batch: int,
+    max_new_tokens: int,
+    prompt_len: int,
+    suppress_tokens: Tuple[int, ...],
+    begin_suppress_tokens: Tuple[int, ...],
+    length_penalty: float = 1.0,
+):
+    """Return a jitted generate(params, mel, prompt, token_cap) program.
+
+    mel: (batch, n_mels, 3000); prompt: (prompt_len,) shared across the
+    batch (the reference replicates one prompt per chunk, main.py:688);
+    token_cap: () int32 runtime cap ≤ max_new_tokens.
+    """
+    K, B = beam_size, batch
+    BK = B * K
+    cache_len = prompt_len + max_new_tokens
+    sup = jnp.asarray(_suppress_mask(cfg.n_vocab, suppress_tokens))
+    begin_sup = jnp.asarray(
+        _suppress_mask(cfg.n_vocab, tuple(begin_suppress_tokens) + tuple(suppress_tokens))
+    )
+    eot_only = jnp.where(
+        jnp.arange(cfg.n_vocab) == EOT, 0.0, NEG_INF
+    )  # finished beams: EOT continues for free
+
+    @partial(jax.jit, donate_argnums=())
+    def generate(params, mel, prompt, token_cap):
+        dtype = params["decoder"]["tok_emb"].dtype
+        xa = encode(params, mel, cfg)
+        xa_kv = cross_kv(params, xa, cfg)
+
+        # ---- prefill on batch B ---- #
+        cache0 = DecoderCache.zeros(cfg, B, cache_len, dtype)
+        prompt_b = jnp.broadcast_to(prompt[None, :], (B, prompt_len))
+        logits, cache0 = prefill(params, prompt_b, cache0, xa_kv, cfg)
+        first_lp = jax.nn.log_softmax(logits[:, -1] + begin_sup, axis=-1)  # (B, V)
+
+        # ---- initial beams: top-K distinct first tokens ---- #
+        top_lp, top_tok = jax.lax.top_k(first_lp, K)  # (B, K)
+        out = jnp.full((B, K, max_new_tokens), EOT, jnp.int32)
+        out = out.at[:, :, 0].set(top_tok)
+        finished0 = top_tok == EOT
+        cache_bk = DecoderCache(
+            jnp.repeat(cache0.k, K, axis=1),
+            jnp.repeat(cache0.v, K, axis=1),
+            cache0.pos,
+        )
+        state = _State(
+            t=jnp.int32(1),
+            tokens=top_tok,
+            sum_lp=top_lp,
+            finished=finished0,
+            out=out,
+            out_len=jnp.ones((B, K), jnp.int32),
+            cache=cache_bk,
+        )
+
+        def cond(s: _State):
+            return (s.t < jnp.minimum(max_new_tokens, token_cap)) & ~jnp.all(
+                s.finished
+            )
+
+        def body(s: _State) -> _State:
+            logits, cache = decode_step(
+                params, s.tokens.reshape(BK), s.cache, xa_kv, cfg
+            )  # (BK, V) f32
+            lp = jax.nn.log_softmax(logits + sup, axis=-1).reshape(B, K, cfg.n_vocab)
+            lp = jnp.where(s.finished[..., None], eot_only, lp)
+            total = s.sum_lp[..., None] + lp  # (B, K, V)
+            flat = total.reshape(B, K * cfg.n_vocab)
+            new_lp, idx = jax.lax.top_k(flat, K)  # (B, K)
+            parent = idx // cfg.n_vocab
+            tok = (idx % cfg.n_vocab).astype(jnp.int32)
+
+            gather = lambda a: jnp.take_along_axis(a, parent, axis=1)
+            par_finished = gather(s.finished)
+            par_len = gather(s.out_len)
+            out = jnp.take_along_axis(
+                s.out, parent[..., None], axis=1
+            )
+            out = jax.lax.dynamic_update_index_in_dim(
+                out, jnp.where(par_finished, EOT, tok), s.t, axis=2
+            )
+            global_parent = (
+                jnp.arange(B, dtype=jnp.int32)[:, None] * K + parent
+            ).reshape(BK)
+            cache = cache.reorder(global_parent)
+            return _State(
+                t=s.t + 1,
+                tokens=tok,
+                sum_lp=new_lp,
+                finished=par_finished | (tok == EOT),
+                out=out,
+                out_len=jnp.where(par_finished, par_len, par_len + 1),
+                cache=cache,
+            )
+
+        s = jax.lax.while_loop(cond, body, state)
+
+        # CT2-style length normalization: sum_lp / len^penalty
+        norm = jnp.maximum(s.out_len.astype(jnp.float32), 1.0) ** length_penalty
+        scores = s.sum_lp / norm
+        best = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        return GenerateResult(tokens=s.out, lengths=s.out_len, scores=scores, best=best)
+
+    return generate
+
+
+def trim_tokens(tokens: np.ndarray, length: int) -> np.ndarray:
+    """Host-side: cut a beam's token row at its emitted length, dropping
+    the trailing EOT if present."""
+    row = np.asarray(tokens[:length])
+    if length > 0 and row[-1] == EOT:
+        row = row[:-1]
+    return row

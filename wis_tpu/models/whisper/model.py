@@ -1,0 +1,281 @@
+"""Whisper encoder-decoder as a pure-functional JAX program.
+
+This replaces the reference's CTranslate2 C++/CUDA Whisper engine
+(reference main.py:341-443: `ctranslate2.models.Whisper`, `.generate`,
+`.detect_language`) with a TPU-first design:
+
+- **Stacked layers + lax.scan**: all transformer blocks of a model are
+  stored as stacked arrays with a leading layer axis and executed with
+  `lax.scan`, so a 32-layer large-v2 compiles as one rolled loop (fast
+  XLA compiles, identical runtime — weights stream from HBM either way).
+- **Static shapes**: mel input is always (B, 80, 3000); the decoder runs
+  a prefill over the fixed prompt followed by single-token steps against
+  a preallocated KV cache, so each (model, beam, batch-bucket) pair
+  compiles exactly once (see wis_tpu.runtime.engine).
+- **Cross-attention K/V are precomputed** once per request after the
+  encoder and reused by every decode step and by the translate-task
+  second pass (the analog of the reference reusing resident
+  `gpu_features`, main.py:727-748).
+- dtypes: weights/activations bf16, attention logits and output logits
+  f32.
+
+Param pytree layout (per model; `weights.py` constructs it):
+
+    params["encoder"] = {
+        "conv1": {"w": (3, n_mels, D), "b": (D,)},
+        "conv2": {"w": (3, D, D), "b": (D,)},
+        "pos":   (1500, D),                      # sinusoidal
+        "blocks": {  # every leaf has leading layer axis L
+            "attn_ln": {"g": (L,D), "b": (L,D)},
+            "attn": {"q_w": (L,D,D), "q_b": (L,D), "k_w": (L,D,D),
+                      "v_w": (L,D,D), "v_b": (L,D),
+                      "o_w": (L,D,D), "o_b": (L,D)},
+            "mlp_ln": {"g": (L,D), "b": (L,D)},
+            "mlp": {"w1": (L,D,4D), "b1": (L,4D), "w2": (L,4D,D), "b2": (L,D)},
+        },
+        "ln_post": {"g": (D,), "b": (D,)},
+    }
+    params["decoder"] = same shape plus "cross" (q/k/v/o) and
+        "cross_ln" per block, "tok_emb": (V, D), "pos": (448, D),
+        "ln": {"g","b"}.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from wis_tpu.models.whisper.config import WhisperConfig
+from wis_tpu.ops.attention import merge_heads, mha, qkv_heads
+
+
+def layer_norm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    return (out * g + b).astype(x.dtype)
+
+
+def _linear(x, w, b=None):
+    y = jnp.einsum("...d,df->...f", x, w, preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b
+    return y.astype(x.dtype)
+
+
+def _attn_block(x, blk, layer, n_heads, mask=None, kv=None):
+    """Self- or cross-attention for one (scanned) layer.
+
+    kv: None → self-attention over x; (k, v) → use precomputed heads.
+    """
+    q = qkv_heads(_linear(x, blk["q_w"], blk["q_b"]), n_heads)
+    if kv is None:
+        k = qkv_heads(_linear(x, blk["k_w"]), n_heads)
+        v = qkv_heads(_linear(x, blk["v_w"], blk["v_b"]), n_heads)
+    else:
+        k, v = kv
+    out = merge_heads(mha(q, k, v, mask))
+    return _linear(out, blk["o_w"], blk["o_b"])
+
+
+def _mlp(x, blk):
+    h = jax.nn.gelu(_linear(x, blk["w1"], blk["b1"]), approximate=False)
+    return _linear(h, blk["w2"], blk["b2"])
+
+
+# --------------------------------------------------------------------------- #
+# Encoder
+# --------------------------------------------------------------------------- #
+def _conv1d(x, w, b, stride):
+    """x (B, T, C_in), w (K, C_in, C_out), 'same' padding."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(1, 1)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + b).astype(x.dtype)
+
+
+def encode(params: dict, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
+    """mel (B, n_mels, 3000) → encoder states (B, 1500, D)."""
+    enc = params["encoder"]
+    x = mel.swapaxes(-1, -2)  # (B, 3000, n_mels)
+    x = jax.nn.gelu(_conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"], 1), approximate=False)
+    x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2), approximate=False)
+    x = x + enc["pos"].astype(x.dtype)
+
+    def block(x, blk):
+        x = x + _attn_block(
+            layer_norm(x, blk["attn_ln"]["g"], blk["attn_ln"]["b"]),
+            blk["attn"],
+            None,
+            cfg.n_audio_head,
+        )
+        x = x + _mlp(layer_norm(x, blk["mlp_ln"]["g"], blk["mlp_ln"]["b"]), blk["mlp"])
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    return layer_norm(x, enc["ln_post"]["g"], enc["ln_post"]["b"])
+
+
+def cross_kv(params: dict, xa: jnp.ndarray, cfg: WhisperConfig):
+    """Precompute per-layer cross-attention K/V from encoder states.
+
+    xa (B, 1500, D) → (k, v) each (L, B, H, 1500, Dh).
+    """
+    dec = params["decoder"]
+
+    def per_layer(_, blk):
+        k = qkv_heads(_linear(xa, blk["cross"]["k_w"]), cfg.n_text_head)
+        v = qkv_heads(
+            _linear(xa, blk["cross"]["v_w"], blk["cross"]["v_b"]), cfg.n_text_head
+        )
+        return None, (k, v)
+
+    _, (k, v) = jax.lax.scan(per_layer, None, dec["blocks"])
+    return k, v
+
+
+# --------------------------------------------------------------------------- #
+# Decoder
+# --------------------------------------------------------------------------- #
+class DecoderCache(NamedTuple):
+    """Preallocated self-attention KV cache.
+
+    k, v: (L, B, H, T_max, Dh); pos: () int32 — number of valid positions.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    pos: jnp.ndarray
+
+    @classmethod
+    def zeros(
+        cls, cfg: WhisperConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+    ) -> "DecoderCache":
+        shape = (
+            cfg.n_text_layer,
+            batch,
+            cfg.n_text_head,
+            max_len,
+            cfg.n_text_state // cfg.n_text_head,
+        )
+        return cls(
+            jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32)
+        )
+
+    def reorder(self, beam_idx: jnp.ndarray) -> "DecoderCache":
+        """Gather cache rows along the batch axis (beam-search reorder)."""
+        return DecoderCache(
+            jnp.take(self.k, beam_idx, axis=1),
+            jnp.take(self.v, beam_idx, axis=1),
+            self.pos,
+        )
+
+
+def _decoder_pass(
+    params: dict,
+    tokens: jnp.ndarray,  # (B, T) int32
+    pos_offset: jnp.ndarray,  # () int32 — first token's absolute position
+    cache: DecoderCache,
+    xa_kv: Tuple[jnp.ndarray, jnp.ndarray],
+    cfg: WhisperConfig,
+) -> Tuple[jnp.ndarray, DecoderCache]:
+    """Shared prefill/step body: run T tokens through the decoder, writing
+    self-attn K/V into the cache at [pos_offset, pos_offset+T)."""
+    dec = params["decoder"]
+    b, t = tokens.shape
+    max_len = cache.k.shape[3]
+    dtype = cache.k.dtype
+
+    x = jnp.take(dec["tok_emb"], tokens, axis=0).astype(dtype)
+    pos_ids = pos_offset + jnp.arange(t)
+    x = x + jnp.take(dec["pos"], pos_ids, axis=0).astype(dtype)
+
+    # attend to absolute positions <= own absolute position
+    key_pos = jnp.arange(max_len)[None, :]  # (1, T_max)
+    query_pos = pos_ids[:, None]  # (T, 1)
+    mask = (key_pos <= query_pos)[None, None]  # (1, 1, T, T_max)
+
+    xa_k, xa_v = xa_kv
+    # Beam search runs the decoder on batch B*K while the encoder K/V stay
+    # at batch B — all beams of a sequence share them (saves K× cross-KV
+    # HBM traffic vs tiling, the dominant bandwidth cost at beam 5).
+    group = b // xa_k.shape[1]
+
+    def _cross_attn(q, xk, xv):
+        dh = q.shape[-1]
+        qg = q.reshape(q.shape[0] // group, group, *q.shape[1:])  # (B,G,H,T,Dh)
+        scores = jnp.einsum(
+            "bghtd,bhsd->bghts", qg, xk, preferred_element_type=jnp.float32
+        ) * (dh ** -0.5)
+        w = jax.nn.softmax(scores, axis=-1).astype(xv.dtype)
+        ctx = jnp.einsum("bghts,bhsd->bghtd", w, xv)
+        return ctx.reshape(q.shape)
+
+    def block(x, scanned):
+        blk, xk, xv, ck, cv = scanned
+        h = layer_norm(x, blk["attn_ln"]["g"], blk["attn_ln"]["b"])
+        q = qkv_heads(_linear(h, blk["attn"]["q_w"], blk["attn"]["q_b"]), cfg.n_text_head)
+        k_new = qkv_heads(_linear(h, blk["attn"]["k_w"]), cfg.n_text_head)
+        v_new = qkv_heads(
+            _linear(h, blk["attn"]["v_w"], blk["attn"]["v_b"]), cfg.n_text_head
+        )
+        ck = jax.lax.dynamic_update_slice(ck, k_new.astype(dtype), (0, 0, pos_offset, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v_new.astype(dtype), (0, 0, pos_offset, 0))
+        x = x + _linear(
+            merge_heads(mha(q, ck, cv, mask)), blk["attn"]["o_w"], blk["attn"]["o_b"]
+        )
+        h = layer_norm(x, blk["cross_ln"]["g"], blk["cross_ln"]["b"])
+        qc = qkv_heads(
+            _linear(h, blk["cross"]["q_w"], blk["cross"]["q_b"]), cfg.n_text_head
+        )
+        x = x + _linear(
+            merge_heads(_cross_attn(qc, xk, xv)),
+            blk["cross"]["o_w"],
+            blk["cross"]["o_b"],
+        )
+        x = x + _mlp(layer_norm(x, blk["mlp_ln"]["g"], blk["mlp_ln"]["b"]), blk["mlp"])
+        return x, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        block, x, (dec["blocks"], xa_k, xa_v, cache.k, cache.v)
+    )
+    x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
+    logits = jnp.einsum(
+        "btd,vd->btv", x, dec["tok_emb"].astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    new_cache = DecoderCache(new_k, new_v, pos_offset + t)
+    return logits, new_cache
+
+
+def prefill(
+    params: dict,
+    prompt: jnp.ndarray,  # (B, P)
+    cache: DecoderCache,
+    xa_kv,
+    cfg: WhisperConfig,
+) -> Tuple[jnp.ndarray, DecoderCache]:
+    """Run the prompt through the decoder. Returns (logits (B, P, V) f32,
+    cache)."""
+    return _decoder_pass(params, prompt, jnp.int32(0), cache, xa_kv, cfg)
+
+
+def decode_step(
+    params: dict,
+    tokens: jnp.ndarray,  # (B,) int32 — last sampled token per sequence
+    cache: DecoderCache,
+    xa_kv,
+    cfg: WhisperConfig,
+) -> Tuple[jnp.ndarray, DecoderCache]:
+    """One autoregressive step. Returns (logits (B, V) f32, cache)."""
+    logits, cache = _decoder_pass(
+        params, tokens[:, None], cache.pos, cache, xa_kv, cfg
+    )
+    return logits[:, 0], cache
