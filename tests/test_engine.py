@@ -1,0 +1,110 @@
+"""WhisperEngine pipeline tests (reference do_whisper semantics,
+main.py:554-770), on random-weight tiny over the CPU test mesh."""
+
+import numpy as np
+import pytest
+
+from wis_tpu.audio.mel import SAMPLE_RATE
+from wis_tpu.runtime.engine import WhisperEngine, _normalize_language
+from wis_tpu.runtime.residency import ModelRegistry
+from wis_tpu.settings import APISettings
+
+
+@pytest.fixture(scope="module")
+def engine():
+    settings = APISettings(
+        max_decode_tokens=8,
+        batch_buckets=["1", "2", "4"],
+        concurrent_gpu_chunks=4,
+        warmup_iterations=1,
+        whisper_model_default="tiny",
+    )
+    return WhisperEngine(ModelRegistry(settings), settings)
+
+
+def _audio(seconds: float, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(int(seconds * SAMPLE_RATE)) * 0.05).astype(
+        np.float32
+    )
+
+
+def test_transcribe_short(engine):
+    res = engine.transcribe(_audio(1.0), model="tiny", beam_size=1)
+    assert res.audio_duration_ms == 1000
+    assert isinstance(res.text, str)
+    assert res.language == "en"
+    assert res.infer_time_ms > 0
+    assert set(res.timings) >= {"features", "encode", "generate", "decode_text"}
+
+
+def test_transcribe_beam(engine):
+    res = engine.transcribe(_audio(1.0), model="tiny", beam_size=2)
+    assert isinstance(res.text, str)
+    key_beams = {k[2] for k in engine._programs if k[0] == "generate"}
+    assert any(("beam", 2) in k for k in key_beams)
+
+
+def test_long_mode_beam_override(engine):
+    # ≥ 12 s activates long mode: requested beam is overridden to
+    # long_beam_size (reference main.py:582-586)
+    engine.transcribe(_audio(12.5, seed=1), model="tiny", beam_size=1)
+    key_beams = {k[2] for k in engine._programs if k[0] == "generate"}
+    assert any(
+        ("beam", engine.settings.long_beam_size) in k for k in key_beams
+    )
+
+
+def test_chunked_long_form(engine):
+    res = engine.transcribe(_audio(70.0, seed=2), model="tiny", beam_size=1)
+    assert res.audio_duration_ms == 70_000
+    assert isinstance(res.text, str)
+
+
+def test_detect_language(engine):
+    res = engine.transcribe(
+        _audio(1.0, seed=3), model="tiny", beam_size=1, detect_language=True
+    )
+    assert len(res.language) in (2, 3)
+
+
+def test_force_language(engine):
+    res = engine.transcribe(
+        _audio(1.0, seed=4), model="tiny", beam_size=1, force_language="de"
+    )
+    assert res.language == "de"
+
+
+def test_translate(engine):
+    res = engine.transcribe(
+        _audio(1.0, seed=5), model="tiny", beam_size=1, translate=True
+    )
+    assert res.translation is not None
+    assert isinstance(res.translation, str)
+
+
+def test_truncation_when_chunking_disabled():
+    settings = APISettings(
+        max_decode_tokens=4,
+        support_chunking=False,
+        whisper_model_default="tiny",
+    )
+    engine = WhisperEngine(ModelRegistry(settings), settings)
+    res = engine.transcribe(_audio(31.0, seed=6), model="tiny", beam_size=1)
+    assert res.audio_duration_ms == 31_000
+
+
+def test_unknown_model_rejected(engine):
+    with pytest.raises(KeyError):
+        engine.transcribe(_audio(0.5), model="nonexistent")
+
+
+def test_normalize_language():
+    assert _normalize_language("<|en|>") == "en"
+    assert _normalize_language("en") == "en"
+
+
+def test_program_cache_reuse(engine):
+    n_before = len(engine._programs)
+    engine.transcribe(_audio(1.0, seed=7), model="tiny", beam_size=1)
+    assert len(engine._programs) == n_before

@@ -67,7 +67,24 @@ def _suppress_mask(n_vocab: int, suppress: Tuple[int, ...]) -> np.ndarray:
     return m
 
 
-def build_generate(
+def build_encode(cfg: WhisperConfig):
+    """Jitted encoder + cross-KV precompute: (params, mel) → xa_kv.
+
+    Split from generation so one encoder pass serves transcribe,
+    language-detect, and the translate second pass (the reference re-runs
+    the CT2 encoder for each generate call; here xa_kv stays resident on
+    device, cf. main.py:727-748 reusing `gpu_features`).
+    """
+
+    @jax.jit
+    def encode_fn(params, mel):
+        xa = encode(params, mel, cfg)
+        return cross_kv(params, xa, cfg)
+
+    return encode_fn
+
+
+def build_generate_xa(
     cfg: WhisperConfig,
     *,
     beam_size: int,
@@ -78,11 +95,12 @@ def build_generate(
     begin_suppress_tokens: Tuple[int, ...],
     length_penalty: float = 1.0,
 ):
-    """Return a jitted generate(params, mel, prompt, token_cap) program.
+    """Return a jitted generate(params, xa_kv, prompt, token_cap) program.
 
-    mel: (batch, n_mels, 3000); prompt: (prompt_len,) shared across the
-    batch (the reference replicates one prompt per chunk, main.py:688);
-    token_cap: () int32 runtime cap ≤ max_new_tokens.
+    xa_kv: precomputed cross-attention K/V for `batch` windows (from
+    build_encode); prompt: (prompt_len,) shared across the batch (the
+    reference replicates one prompt per chunk, main.py:688); token_cap:
+    () int32 runtime cap ≤ max_new_tokens.
     """
     K, B = beam_size, batch
     BK = B * K
@@ -96,10 +114,8 @@ def build_generate(
     )  # finished beams: EOT continues for free
 
     @partial(jax.jit, donate_argnums=())
-    def generate(params, mel, prompt, token_cap):
+    def generate(params, xa_kv, prompt, token_cap):
         dtype = params["decoder"]["tok_emb"].dtype
-        xa = encode(params, mel, cfg)
-        xa_kv = cross_kv(params, xa, cfg)
 
         # ---- prefill on batch B ---- #
         cache0 = DecoderCache.zeros(cfg, B, cache_len, dtype)
@@ -174,6 +190,38 @@ def build_generate(
         scores = s.sum_lp / norm
         best = jnp.argmax(scores, axis=1).astype(jnp.int32)
         return GenerateResult(tokens=s.out, lengths=s.out_len, scores=scores, best=best)
+
+    return generate
+
+
+def build_generate(
+    cfg: WhisperConfig,
+    *,
+    beam_size: int,
+    batch: int,
+    max_new_tokens: int,
+    prompt_len: int,
+    suppress_tokens: Tuple[int, ...],
+    begin_suppress_tokens: Tuple[int, ...],
+    length_penalty: float = 1.0,
+):
+    """End-to-end (params, mel, prompt, token_cap) → GenerateResult,
+    composing build_encode + build_generate_xa (two device dispatches;
+    xa_kv never leaves the device)."""
+    encode_fn = build_encode(cfg)
+    gen_fn = build_generate_xa(
+        cfg,
+        beam_size=beam_size,
+        batch=batch,
+        max_new_tokens=max_new_tokens,
+        prompt_len=prompt_len,
+        suppress_tokens=suppress_tokens,
+        begin_suppress_tokens=begin_suppress_tokens,
+        length_penalty=length_penalty,
+    )
+
+    def generate(params, mel, prompt, token_cap):
+        return gen_fn(params, encode_fn(params, mel), prompt, token_cap)
 
     return generate
 

@@ -21,6 +21,36 @@ from wis_tpu.models.whisper.tokenizer import LANG_BASE, LANG_TOKEN, SOT
 N_LANG = len(LANG_TOKEN)
 
 
+def build_detect_language_xa(cfg: WhisperConfig):
+    """Jitted detect over precomputed encoder K/V: (params, xa_kv) →
+    (lang_index (B,), prob (B,)) using only the first window (the
+    reference detects on chunk 0 only, main.py:633-644)."""
+
+    @jax.jit
+    def detect(params, xa_kv):
+        xa_k, xa_v = xa_kv
+        xa_kv1 = (xa_k[:, :1], xa_v[:, :1])
+        return _detect_from_kv(params, xa_kv1, cfg)
+
+    return detect
+
+
+def _detect_from_kv(params, xa_kv, cfg):
+    b = xa_kv[0].shape[1]
+    dtype = params["decoder"]["tok_emb"].dtype
+    cache = DecoderCache.zeros(cfg, b, 1, dtype)
+    sot = jnp.full((b, 1), SOT, jnp.int32)
+    logits, _ = prefill(params, sot, cache, xa_kv, cfg)
+    lang_logits = jax.lax.dynamic_slice_in_dim(
+        logits[:, -1], LANG_BASE, N_LANG, axis=-1
+    )
+    probs = jax.nn.softmax(lang_logits, axis=-1)
+    idx = jnp.argmax(probs, axis=-1)
+    return idx.astype(jnp.int32), jnp.take_along_axis(probs, idx[:, None], axis=-1)[
+        :, 0
+    ]
+
+
 def build_detect_language(cfg: WhisperConfig):
     """Return jitted detect(params, mel) → (lang_index (B,), prob (B,))."""
 

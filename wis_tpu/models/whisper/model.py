@@ -105,7 +105,7 @@ def _conv1d(x, w, b, stride):
 def encode(params: dict, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
     """mel (B, n_mels, 3000) → encoder states (B, 1500, D)."""
     enc = params["encoder"]
-    x = mel.swapaxes(-1, -2)  # (B, 3000, n_mels)
+    x = mel.swapaxes(-1, -2).astype(enc["conv1"]["w"].dtype)  # (B, 3000, n_mels)
     x = jax.nn.gelu(_conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"], 1), approximate=False)
     x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2), approximate=False)
     x = x + enc["pos"].astype(x.dtype)
