@@ -1,0 +1,86 @@
+"""Dynamic batcher tests: coalescing, mixed languages/tasks, futures."""
+
+import numpy as np
+import pytest
+
+from wis_tpu.audio.mel import SAMPLE_RATE
+from wis_tpu.runtime.batcher import ASRRequest, InferenceExecutor
+from wis_tpu.runtime.engine import WhisperEngine
+from wis_tpu.runtime.residency import ModelRegistry
+from wis_tpu.settings import APISettings
+
+
+@pytest.fixture(scope="module")
+def engine():
+    settings = APISettings(
+        max_decode_tokens=6,
+        batch_buckets=["1", "2", "4"],
+        batch_window_s=0.05,
+        whisper_model_default="tiny",
+    )
+    return WhisperEngine(ModelRegistry(settings), settings)
+
+
+def _audio(seconds: float, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(int(seconds * SAMPLE_RATE)) * 0.05).astype(
+        np.float32
+    )
+
+
+def test_coalesced_matches_request_count(engine):
+    reqs = [
+        ASRRequest(audio=_audio(1.0, i), model="tiny", beam_size=1)
+        for i in range(3)
+    ]
+    results = engine.transcribe_coalesced(reqs)
+    assert len(results) == 3
+    for r, res in zip(reqs, results):
+        assert res.audio_duration_ms == 1000
+        assert isinstance(res.text, str)
+
+
+def test_coalesced_mixed_language_and_task(engine):
+    reqs = [
+        ASRRequest(audio=_audio(1.0, 1), model="tiny", beam_size=1,
+                   force_language="de"),
+        ASRRequest(audio=_audio(1.0, 2), model="tiny", beam_size=1,
+                   detect_language=True),
+        ASRRequest(audio=_audio(1.0, 3), model="tiny", beam_size=1,
+                   translate=True),
+    ]
+    results = engine.transcribe_coalesced(reqs)
+    assert results[0].language == "de"
+    assert len(results[1].language) in (2, 3)
+    assert results[2].translation is not None
+
+
+def test_executor_concurrent_submissions(engine):
+    execr = InferenceExecutor(engine)
+    futures = [
+        execr.submit(
+            ASRRequest(audio=_audio(0.5, 10 + i), model="tiny", beam_size=1)
+        )
+        for i in range(4)
+    ]
+    results = [f.result(timeout=120) for f in futures]
+    assert len(results) == 4
+    assert all(r.audio_duration_ms == 500 for r in results)
+    execr.shutdown()
+
+
+def test_executor_long_request_solo(engine):
+    execr = InferenceExecutor(engine)
+    res = execr.submit_sync(
+        ASRRequest(audio=_audio(35.0, 42), model="tiny", beam_size=1)
+    )
+    assert res.audio_duration_ms == 35_000
+    execr.shutdown()
+
+
+def test_executor_error_propagates(engine):
+    execr = InferenceExecutor(engine)
+    bad = ASRRequest(audio=_audio(0.5, 0), model="doesnotexist", beam_size=1)
+    with pytest.raises(KeyError):
+        execr.submit_sync(bad)
+    execr.shutdown()

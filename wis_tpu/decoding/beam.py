@@ -99,8 +99,11 @@ def build_generate_xa(
 
     xa_kv: precomputed cross-attention K/V for `batch` windows (from
     build_encode); prompt: (prompt_len,) shared across the batch (the
-    reference replicates one prompt per chunk, main.py:688); token_cap:
-    () int32 runtime cap ≤ max_new_tokens.
+    reference replicates one prompt per chunk, main.py:688) or
+    (batch, prompt_len) per-sequence — per-sequence prompts let the
+    dynamic batcher coalesce requests with different languages/tasks
+    into one padded TPU batch; token_cap: () int32 runtime cap ≤
+    max_new_tokens.
     """
     K, B = beam_size, batch
     BK = B * K
@@ -119,7 +122,10 @@ def build_generate_xa(
 
         # ---- prefill on batch B ---- #
         cache0 = DecoderCache.zeros(cfg, B, cache_len, dtype)
-        prompt_b = jnp.broadcast_to(prompt[None, :], (B, prompt_len))
+        if prompt.ndim == 1:
+            prompt_b = jnp.broadcast_to(prompt[None, :], (B, prompt_len))
+        else:
+            prompt_b = prompt
         logits, cache0 = prefill(params, prompt_b, cache0, xa_kv, cfg)
         first_lp = jax.nn.log_softmax(logits[:, -1] + begin_sup, axis=-1)  # (B, V)
 

@@ -23,14 +23,14 @@ N_LANG = len(LANG_TOKEN)
 
 def build_detect_language_xa(cfg: WhisperConfig):
     """Jitted detect over precomputed encoder K/V: (params, xa_kv) →
-    (lang_index (B,), prob (B,)) using only the first window (the
-    reference detects on chunk 0 only, main.py:633-644)."""
+    (lang_index (B,), prob (B,)) for every window in the batch. The
+    engine's chunked path reads index 0 (the reference detects on chunk 0
+    only, main.py:633-644); the dynamic batcher uses all rows — one
+    detect dispatch covers a whole coalesced batch."""
 
     @jax.jit
     def detect(params, xa_kv):
-        xa_k, xa_v = xa_kv
-        xa_kv1 = (xa_k[:, :1], xa_v[:, :1])
-        return _detect_from_kv(params, xa_kv1, cfg)
+        return _detect_from_kv(params, xa_kv, cfg)
 
     return detect
 

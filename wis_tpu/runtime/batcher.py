@@ -1,0 +1,162 @@
+"""Dynamic batcher / inference executor.
+
+The reference serializes all inference: gunicorn runs ONE worker and
+`do_whisper` is a blocking call made straight from async handlers
+(reference entrypoint.sh:19, main.py:1204-1215) — concurrent requests
+head-of-line block each other and the GPU sees batch=1 per request.
+
+Here a dedicated inference thread owns the device. Concurrent short
+(≤30 s, single-window) requests that share (model, effective-beam) are
+coalesced within a small window into one padded TPU batch — per-sequence
+prompts mean mixed languages/tasks batch together — and dispatched as a
+single compiled program. Long-form (chunked) requests run solo since they
+already fill a batch with their own windows. Async handlers get a Future.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from wis_tpu.runtime.engine import TranscriptionResult, WhisperEngine
+from wis_tpu.settings import APISettings
+
+logger = logging.getLogger("wis_tpu")
+
+
+@dataclass
+class ASRRequest:
+    audio: np.ndarray  # 16 kHz mono float32
+    model: str
+    beam_size: int
+    task: str = "transcribe"
+    detect_language: bool = False
+    force_language: Optional[str] = None
+    translate: bool = False
+    max_tokens: Optional[int] = None
+    future: Future = field(default_factory=Future)
+
+    def effective_beam(self, settings: APISettings) -> int:
+        duration_ms = self.audio.shape[0] / 16  # samples @16k → ms
+        if duration_ms >= settings.long_beam_size_threshold:
+            return settings.long_beam_size
+        return self.beam_size
+
+    def is_long(self) -> bool:
+        return self.audio.shape[0] > 30 * 16000
+
+    def batch_key(self, settings: APISettings):
+        return (self.model, self.effective_beam(settings))
+
+
+class InferenceExecutor:
+    """Single consumer thread that owns device dispatch order."""
+
+    def __init__(self, engine: WhisperEngine, settings: Optional[APISettings] = None):
+        self.engine = engine
+        self.settings = settings or engine.settings
+        self._queue: "queue.Queue[Optional[ASRRequest]]" = queue.Queue()
+        self._thread = threading.Thread(
+            target=self._worker, name="wis-inference", daemon=True
+        )
+        self._started = False
+        self._lock = threading.Lock()
+
+    def start(self) -> None:
+        with self._lock:
+            if not self._started:
+                self._started = True
+                self._thread.start()
+
+    def shutdown(self) -> None:
+        if self._started:
+            self._queue.put(None)
+            self._thread.join(timeout=5)
+            self._started = False
+
+    # ------------------------------------------------------------------ #
+    def submit(self, req: ASRRequest) -> Future:
+        self.start()
+        self._queue.put(req)
+        return req.future
+
+    def submit_sync(self, req: ASRRequest) -> TranscriptionResult:
+        return self.submit(req).result()
+
+    @property
+    def queue_depth(self) -> int:
+        return self._queue.qsize()
+
+    # ------------------------------------------------------------------ #
+    def _worker(self) -> None:
+        max_batch = self.settings.batch_bucket_list()[-1]
+        while True:
+            req = self._queue.get()
+            if req is None:
+                return
+            batch = [req]
+            if not req.is_long():
+                # coalesce compatible short requests within the window
+                deadline = self.settings.batch_window_s
+                key = req.batch_key(self.settings)
+                while len(batch) < max_batch:
+                    try:
+                        nxt = self._queue.get(timeout=deadline)
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        self._run(batch)
+                        return
+                    if nxt.is_long() or nxt.batch_key(self.settings) != key:
+                        # incompatible: run what we have, requeue the new one
+                        self._queue.put(nxt)
+                        break
+                    batch.append(nxt)
+            self._run(batch)
+
+    def _run(self, batch: List[ASRRequest]) -> None:
+        try:
+            if len(batch) == 1 and batch[0].is_long():
+                r = batch[0]
+                result = self.engine.transcribe(
+                    r.audio,
+                    model=r.model,
+                    beam_size=r.beam_size,
+                    task=r.task,
+                    detect_language=r.detect_language,
+                    force_language=r.force_language,
+                    translate=r.translate,
+                    max_tokens=r.max_tokens,
+                )
+                r.future.set_result(result)
+                return
+            if len(batch) == 1:
+                r = batch[0]
+                r.future.set_result(
+                    self.engine.transcribe(
+                        r.audio,
+                        model=r.model,
+                        beam_size=r.beam_size,
+                        task=r.task,
+                        detect_language=r.detect_language,
+                        force_language=r.force_language,
+                        translate=r.translate,
+                        max_tokens=r.max_tokens,
+                    )
+                )
+                return
+            logger.debug("BATCHER: coalesced %d requests", len(batch))
+            results = self.engine.transcribe_coalesced(batch)
+            for r, res in zip(batch, results):
+                r.future.set_result(res)
+        except Exception as e:  # propagate to all waiters
+            logger.exception("BATCHER: inference failed")
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(e)

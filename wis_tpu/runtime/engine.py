@@ -291,6 +291,124 @@ class WhisperEngine:
         )
 
     # ------------------------------------------------------------------ #
+    # Coalesced path — called by the dynamic batcher with N compatible
+    # short requests (same model + effective beam, each ≤ one 30 s
+    # window); executes them as ONE padded TPU batch with per-sequence
+    # prompts. No reference analog: the reference runs batch=1 per
+    # request (main.py:1204-1215).
+    # ------------------------------------------------------------------ #
+    def transcribe_coalesced(self, requests) -> List[TranscriptionResult]:
+        s = self.settings
+        timer = StageTimer()
+        model_name = requests[0].model
+        beam = requests[0].effective_beam(s)
+        loaded = self.registry.get(model_name)
+        tok = loaded.tokenizer
+
+        durations = [int(r.audio.shape[0] / SAMPLE_RATE * 1000) for r in requests]
+        with timer.span("features"):
+            windows = np.stack([pad_or_trim(r.audio) for r in requests])
+            mel = log_mel_spectrogram(windows)
+        n = mel.shape[0]
+        bucket = self._bucket(n)
+        if n < bucket:
+            mel = np.concatenate(
+                [mel, np.zeros((bucket - n,) + mel.shape[1:], mel.dtype)]
+            )
+
+        encode_fn = self._program("encode", loaded)
+        with self.device_lock:
+            with timer.span("encode", trace=True):
+                xa_kv = encode_fn(loaded.params, jnp.asarray(mel))
+
+            # per-request language resolution (one batched detect pass)
+            languages = [s.language] * n
+            need_detect = [
+                i
+                for i, r in enumerate(requests)
+                if r.detect_language and not r.force_language
+            ]
+            if need_detect:
+                with timer.span("detect_language", trace=True):
+                    detect_fn = self._program("detect", loaded, batch=bucket)
+                    idx, _prob = detect_fn(loaded.params, xa_kv)
+                    idx = np.asarray(idx)
+                for i in need_detect:
+                    languages[i] = lang_index_to_code(int(idx[i]))
+            for i, r in enumerate(requests):
+                if r.force_language:
+                    languages[i] = to_language_code(r.force_language)
+
+            prompts = np.stack(
+                [
+                    build_prompt(languages[i] if i < n else s.language,
+                                 requests[i].task if i < n else "transcribe")
+                    for i in range(n)
+                ]
+                + [build_prompt(s.language, "transcribe")] * (bucket - n)
+            ).astype(np.int32)
+            gen_fn = self._program(
+                "generate",
+                loaded,
+                beam=beam,
+                batch=bucket,
+                prompt_len=prompts.shape[1],
+            )
+            token_cap = jnp.int32(
+                max((r.max_tokens or s.max_decode_tokens) for r in requests)
+            )
+            with timer.span("generate", trace=True):
+                result = gen_fn(loaded.params, xa_kv, jnp.asarray(prompts), token_cap)
+                result.tokens.block_until_ready()
+
+            # translate second pass for any request that asked for it
+            tr_texts: Dict[int, str] = {}
+            want_tr = [i for i, r in enumerate(requests) if r.translate]
+            if want_tr:
+                with timer.span("translate", trace=True):
+                    tr_prompts = prompts.copy()
+                    for i in want_tr:
+                        tr_prompts[i] = np.asarray(
+                            build_prompt(languages[i], "translate"), np.int32
+                        )
+                    tr_res = gen_fn(
+                        loaded.params, xa_kv, jnp.asarray(tr_prompts), token_cap
+                    )
+                    tr_tokens = np.asarray(tr_res.tokens)
+                    tr_lengths = np.asarray(tr_res.lengths)
+                    tr_best = np.asarray(tr_res.best)
+                    for i in want_tr:
+                        k = int(tr_best[i])
+                        tr_texts[i] = tok.decode(
+                            trim_tokens(tr_tokens[i, k], int(tr_lengths[i, k]))
+                        ).strip()
+
+        with timer.span("decode_text"):
+            tokens = np.asarray(result.tokens)
+            lengths = np.asarray(result.lengths)
+            best = np.asarray(result.best)
+            infer_ms = timer.total_ms()
+            out: List[TranscriptionResult] = []
+            for i in range(n):
+                k = int(best[i])
+                text = tok.decode(trim_tokens(tokens[i, k], int(lengths[i, k]))).strip()
+                speedup = (
+                    math.floor(durations[i] / infer_ms) if infer_ms > 0 else 0
+                )
+                out.append(
+                    TranscriptionResult(
+                        language=_normalize_language(languages[i]),
+                        text=text,
+                        infer_time_ms=infer_ms,
+                        translation=tr_texts.get(i),
+                        infer_speedup=speedup,
+                        audio_duration_ms=durations[i],
+                        timings=timer.as_dict(),
+                    )
+                )
+        return out
+
+    # ------------------------------------------------------------------ #
     def _merge_and_decode(
         self, results, n_windows: int, group_size: int, strides, tok
     ) -> str:
