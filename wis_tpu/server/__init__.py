@@ -1,0 +1,3 @@
+from wis_tpu.server.app import create_app
+
+__all__ = ["create_app"]

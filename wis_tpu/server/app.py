@@ -1,0 +1,375 @@
+"""HTTP/WS serving layer — API-parity with the reference FastAPI app.
+
+Endpoints (reference main.py:1035-1377):
+    GET  /api/ping          — liveness
+    POST /api/asr           — multipart upload ASR w/ query params
+    POST /api/willow        — raw-body streaming ASR (x-audio-* headers)
+    POST /api/rtc/asr       — WebRTC SDP offer (aiortc-gated)
+    GET  /api/ws/asr        — WebSocket streaming session (datachannel
+                              protocol over WS; TPU-native addition)
+    POST /api/sv            — speaker verify / enroll (?enroll=<name>)
+    GET  /api/docs, /api/openapi.json — API docs
+    static: /rtc, /dict, /audio (reference main.py:1110-1122)
+
+Built on aiohttp rather than FastAPI, with identical request/response
+shapes. Inference never blocks the event loop: requests flow through the
+dynamic batcher's inference thread (the reference blocks its single
+worker's loop on every request, main.py:1204-1215).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import os
+from typing import Optional
+
+from aiohttp import web
+
+from wis_tpu.audio.ingest import IngestError, load_audio
+from wis_tpu.languages import check_language
+from wis_tpu.runtime.batcher import ASRRequest, InferenceExecutor
+from wis_tpu.runtime.engine import WhisperEngine
+from wis_tpu.runtime.residency import ModelRegistry
+from wis_tpu.server.auth import basic_auth_middleware, cors_middleware
+from wis_tpu.server.schemas import openapi_document
+from wis_tpu.server.session import DataChannelMessage, StreamingSession
+from wis_tpu.server.sv import SpeakerVerifier
+from wis_tpu.settings import APISettings, get_api_settings
+
+logger = logging.getLogger("wis_tpu")
+
+_TRUE = {"1", "true", "t", "yes", "y", "on"}
+
+
+def _qbool(request: web.Request, name: str, default: bool = False) -> bool:
+    raw = request.query.get(name)
+    if raw is None:
+        return default
+    return raw.strip().lower() in _TRUE
+
+
+def _qint(request: web.Request, name: str, default: int) -> int:
+    raw = request.query.get(name)
+    try:
+        return int(raw) if raw is not None else default
+    except ValueError:
+        return default
+
+
+def _asr_response(result, include_stats: bool = True) -> dict:
+    """The reference's response dict (main.py:1218-1224)."""
+    payload = {
+        "infer_time": result.infer_time_ms,
+        "infer_speedup": result.infer_speedup,
+        "audio_duration": result.audio_duration_ms,
+        "language": result.language,
+        "text": result.text,
+    }
+    if not include_stats:
+        payload = {"language": result.language, "text": result.text}
+    if result.translation is not None:
+        payload["translation"] = result.translation
+    return payload
+
+
+async def _run_asr(request: web.Request, req: ASRRequest):
+    executor: InferenceExecutor = request.app["executor"]
+    loop = asyncio.get_running_loop()
+    return await loop.run_in_executor(None, lambda: executor.submit_sync(req))
+
+
+# --------------------------------------------------------------------------- #
+# Handlers
+# --------------------------------------------------------------------------- #
+async def ping(request: web.Request) -> web.Response:
+    return web.json_response({"message": "pong"})
+
+
+async def asr(request: web.Request) -> web.Response:
+    settings: APISettings = request.app["settings"]
+    model = request.query.get("model", settings.whisper_model_default)
+    detect_language = _qbool(request, "detect_language", settings.detect_language)
+    beam_size = _qint(request, "beam_size", settings.beam_size)
+    force_language = request.query.get("force_language")
+    translate = _qbool(request, "translate", False)
+
+    if force_language and not check_language(force_language):
+        return web.json_response({"error": "Invalid force_language"}, status=400)
+
+    reader = await request.multipart()
+    data = None
+    async for part in reader:
+        if part.name == "audio_file":
+            data = await part.read(decode=False)
+            break
+    if data is None:
+        return web.json_response({"error": "Missing audio_file"}, status=400)
+
+    try:
+        audio = load_audio(bytes(data))
+    except (IngestError, Exception) as e:  # noqa: BLE001 — codec errors vary
+        logger.debug("ASR: invalid audio: %s", e)
+        return web.json_response({"error": "Invalid audio"}, status=400)
+
+    try:
+        result = await _run_asr(
+            request,
+            ASRRequest(
+                audio=audio,
+                model=model,
+                beam_size=beam_size,
+                detect_language=detect_language,
+                force_language=force_language,
+                translate=translate,
+            ),
+        )
+    except KeyError:
+        return web.json_response({"error": f"Unknown model {model}"}, status=400)
+    return web.json_response(_asr_response(result))
+
+
+async def willow(request: web.Request) -> web.Response:
+    settings: APISettings = request.app["settings"]
+    model = request.query.get("model", settings.whisper_model_default)
+    detect_language = _qbool(request, "detect_language", settings.detect_language)
+    beam_size = _qint(request, "beam_size", settings.beam_size)
+    force_language = request.query.get("force_language")
+    translate = _qbool(request, "translate", False)
+    save_audio = _qbool(request, "save_audio", False)
+    stats = _qbool(request, "stats", False)
+    voice_auth = _qbool(request, "voice_auth", False)
+
+    if force_language and not check_language(force_language):
+        return web.json_response({"error": "Invalid force_language"}, status=400)
+
+    # Willow device headers (reference main.py:1277-1281)
+    sample_rate = request.headers.get("x-audio-sample-rate", "").lower()
+    bits = request.headers.get("x-audio-bits", "").lower()
+    channel = request.headers.get("x-audio-channel", "").lower()
+    codec = request.headers.get("x-audio-codec", "").lower()
+    willow_id = request.headers.get("x-willow-id", "").lower()
+    if willow_id:
+        logger.debug("WILLOW: got Willow ID %s", willow_id)
+
+    body = await request.read()
+    try:
+        if codec == "pcm":
+            audio = load_audio(
+                body,
+                codec="pcm",
+                sample_rate=int(sample_rate),
+                bits=int(bits),
+                channels=int(channel),
+            )
+        elif codec == "wav":
+            audio = load_audio(body, codec="wav")
+        else:
+            audio = load_audio(body)  # sniff container
+    except Exception as e:  # noqa: BLE001
+        logger.debug("WILLOW: invalid audio: %s", e)
+        return web.json_response({"error": "Invalid audio"}, status=400)
+
+    if save_audio:
+        from wis_tpu.audio.ingest import pcm_to_wav_bytes
+
+        save_path = request.app["save_audio_path"]
+        os.makedirs(os.path.dirname(save_path), exist_ok=True)
+        with open(save_path, "wb") as f:
+            f.write(pcm_to_wav_bytes(audio))
+
+    sv_results = None
+    speaker_status = None
+    if voice_auth:
+        stats = True
+        if not settings.support_sv:
+            return web.Response(text="SV not supported", status=501)
+        verifier: SpeakerVerifier = request.app["sv"]
+        loop = asyncio.get_running_loop()
+        sv_results = await loop.run_in_executor(None, verifier.verify, audio)
+        if sv_results:
+            speaker = next(iter(sv_results))
+            speaker_status = f"I heard {speaker} say:"
+        else:
+            # unknown voice → 406 (reference main.py:1331-1335)
+            return web.Response(text="Unauthorized voice", status=406)
+
+    try:
+        result = await _run_asr(
+            request,
+            ASRRequest(
+                audio=audio,
+                model=model,
+                beam_size=beam_size,
+                detect_language=detect_language,
+                force_language=force_language,
+                translate=translate,
+            ),
+        )
+    except KeyError:
+        return web.json_response({"error": f"Unknown model {model}"}, status=400)
+
+    payload = _asr_response(result, include_stats=stats)
+    if stats and voice_auth:
+        payload["voice_auth"] = sv_results
+        payload["speaker_status"] = speaker_status
+    return web.json_response(payload)
+
+
+async def ws_asr(request: web.Request) -> web.WebSocketResponse:
+    """WebSocket streaming session speaking the datachannel protocol
+    (binary frames = PCM audio; text frames = JSON control messages)."""
+    settings: APISettings = request.app["settings"]
+    defaults = {
+        "model": request.query.get("model"),
+        "beam_size": request.query.get("beam_size"),
+        "detect_language": _qbool(request, "detect_language", False),
+    }
+    ws = web.WebSocketResponse(heartbeat=30)
+    await ws.prepare(request)
+    session = StreamingSession(request.app["executor"], settings, defaults)
+    async for msg in ws:
+        if msg.type == web.WSMsgType.TEXT:
+            try:
+                parsed = DataChannelMessage.parse(msg.data)
+            except ValueError as e:
+                await ws.send_str('{"type": "error", "obj": {"msg": "%s"}}' % e)
+                continue
+            for response in await session.handle(parsed):
+                await ws.send_str(response)
+        elif msg.type == web.WSMsgType.BINARY:
+            session.feed_pcm(msg.data)
+        elif msg.type == web.WSMsgType.ERROR:
+            logger.debug("WS: connection error: %s", ws.exception())
+    return ws
+
+
+async def rtc_asr(request: web.Request) -> web.Response:
+    """WebRTC SDP offer/answer (reference main.py:1140-1155, 894-1032).
+    Requires aiortc; environments without it get 501."""
+    try:
+        from wis_tpu.server.rtc import rtc_offer
+    except ImportError:
+        return web.json_response(
+            {"error": "WebRTC unavailable: aiortc not installed"}, status=501
+        )
+    params = await request.json()
+    settings: APISettings = request.app["settings"]
+    answer = await rtc_offer(
+        request.app,
+        params,
+        model=request.query.get("model", settings.whisper_model_default),
+        beam_size=_qint(request, "beam_size", settings.beam_size),
+        detect_language=_qbool(request, "detect_language", settings.detect_language),
+    )
+    return web.json_response(answer)
+
+
+async def sv_endpoint(request: web.Request) -> web.Response:
+    """Speaker verification (POST audio) or enrollment (?enroll=<name>).
+    The reference enrolls by dropping .npy files in speakers/voice_auth
+    (main.py:839-851); this endpoint automates it."""
+    settings: APISettings = request.app["settings"]
+    if not settings.support_sv:
+        return web.Response(text="SV not supported", status=501)
+    body = await request.read()
+    try:
+        audio = load_audio(body)
+    except Exception:  # noqa: BLE001
+        return web.json_response({"error": "Invalid audio"}, status=400)
+    verifier: SpeakerVerifier = request.app["sv"]
+    loop = asyncio.get_running_loop()
+    name = request.query.get("enroll")
+    if name:
+        await loop.run_in_executor(None, verifier.enroll, name, audio)
+        return web.json_response({"enrolled": name})
+    results = await loop.run_in_executor(None, verifier.verify, audio)
+    return web.json_response({"speakers": results})
+
+
+async def openapi(request: web.Request) -> web.Response:
+    return web.json_response(openapi_document(request.app["settings"]))
+
+
+async def docs(request: web.Request) -> web.Response:
+    return web.Response(
+        text="<html><body><h1>Willow Inference Server (TPU)</h1>"
+        '<p>OpenAPI: <a href="/api/openapi.json">/api/openapi.json</a></p>'
+        "</body></html>",
+        content_type="text/html",
+    )
+
+
+# --------------------------------------------------------------------------- #
+def create_app(
+    settings: Optional[APISettings] = None,
+    engine: Optional[WhisperEngine] = None,
+    warmup: bool = False,
+    static_root: Optional[str] = None,
+) -> web.Application:
+    settings = settings or get_api_settings()
+    app = web.Application(
+        middlewares=[cors_middleware(settings), basic_auth_middleware(settings)],
+        client_max_size=2 * 1024**3,  # 2 GB bodies (reference nginx.conf:57)
+    )
+    registry = ModelRegistry(settings)
+    engine = engine or WhisperEngine(registry, settings)
+    executor = InferenceExecutor(engine, settings)
+    app["settings"] = settings
+    app["engine"] = engine
+    app["registry"] = engine.registry
+    app["executor"] = executor
+    app["sv"] = SpeakerVerifier(settings)
+    app["save_audio_path"] = os.path.join(
+        static_root or "nginx/static", "audio", "willow.wav"
+    )
+
+    app.router.add_get("/api/ping", ping)
+    app.router.add_post("/api/asr", asr)
+    app.router.add_post("/api/willow", willow)
+    app.router.add_post("/api/rtc/asr", rtc_asr)
+    app.router.add_get("/api/ws/asr", ws_asr)
+    app.router.add_post("/api/sv", sv_endpoint)
+    app.router.add_get("/api/openapi.json", openapi)
+    app.router.add_get("/api/docs", docs)
+
+    # static mounts (reference main.py:1110-1122)
+    root = static_root or "nginx/static"
+    for mount in ("rtc", "dict", "audio"):
+        path = os.path.join(root, mount)
+        if os.path.isdir(path):
+            app.router.add_static(f"/{mount}", path)
+
+    async def on_startup(app_: web.Application) -> None:
+        # load + warm models (reference main.py:1097-1101)
+        executor.start()
+        if warmup:
+            loop = asyncio.get_running_loop()
+
+            def _warm():
+                engine.registry.preload()
+                engine.warmup()
+
+            await loop.run_in_executor(None, _warm)
+
+    async def on_cleanup(app_: web.Application) -> None:
+        executor.shutdown()
+
+    app.on_startup.append(on_startup)
+    app.on_cleanup.append(on_cleanup)
+    return app
+
+
+def main() -> None:
+    """CLI entrypoint: python -m wis_tpu.server.app [port]."""
+    import sys
+
+    from wis_tpu.utils.logging import configure_logging
+
+    configure_logging()
+    port = int(sys.argv[1]) if len(sys.argv) > 1 else 19000
+    web.run_app(create_app(warmup=True), port=port)
+
+
+if __name__ == "__main__":
+    main()

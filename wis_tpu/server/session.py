@@ -1,0 +1,170 @@
+"""Streaming ASR session protocol.
+
+The reference's WebRTC datachannel speaks a JSON protocol — `ping` →
+`pong`, `start` → begin recording the audio track, `stop` (with optional
+per-request `{model, beam_size, detect_language}` in `obj`) → run ASR and
+answer with `infer` + `log` messages (reference main.py:882-996,
+`DataChannelMessage`). The session logic here is transport-agnostic: the
+WebSocket endpoint feeds it binary PCM frames, the WebRTC endpoint feeds
+it decoded track frames. Inference is dispatched through the dynamic
+batcher so concurrent sessions coalesce into one TPU batch.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from wis_tpu.audio import codecs
+from wis_tpu.audio.mel import SAMPLE_RATE
+from wis_tpu.runtime.batcher import ASRRequest, InferenceExecutor
+from wis_tpu.settings import APISettings
+
+logger = logging.getLogger("wis_tpu")
+
+
+@dataclass
+class DataChannelMessage:
+    """Wire format (reference main.py:882-890)."""
+
+    type: str
+    obj: Dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def parse(cls, raw: str) -> "DataChannelMessage":
+        data = json.loads(raw)
+        if not isinstance(data, dict) or "type" not in data:
+            raise ValueError("invalid datachannel message")
+        obj = data.get("obj") or {}
+        if not isinstance(obj, dict):
+            obj = {}
+        return cls(type=str(data["type"]), obj=obj)
+
+
+def _msg(type_: str, obj: Any = None) -> str:
+    return json.dumps({"type": type_, "obj": obj})
+
+
+class StreamingSession:
+    """One streaming ASR session: accumulates PCM between start/stop and
+    runs inference on stop with per-request parameter overrides."""
+
+    def __init__(
+        self,
+        executor: InferenceExecutor,
+        settings: APISettings,
+        defaults: Optional[Dict[str, Any]] = None,
+    ):
+        self.executor = executor
+        self.settings = settings
+        # endpoint-level defaults (the reference passes /api/rtc/asr query
+        # params down, main.py:1145-1155) — shadowed by stop-message obj
+        # values (main.py:940-943)
+        self.defaults = defaults or {}
+        self.recording = False
+        self._chunks: List[np.ndarray] = []
+        self._sample_rate = SAMPLE_RATE
+        self._bits = 16
+        self._channels = 1
+        self._start_time: Optional[float] = None
+
+    # ------------------------------------------------------------------ #
+    def feed_pcm(self, data: bytes) -> None:
+        if not self.recording:
+            return
+        pcm = codecs.pcm_to_float(data, self._bits)
+        if self._channels > 1:
+            pcm = codecs.mix_to_mono(pcm.reshape(-1, self._channels))
+        self._chunks.append(pcm)
+
+    def feed_float(self, pcm: np.ndarray, sample_rate: int) -> None:
+        if not self.recording:
+            return
+        if sample_rate != SAMPLE_RATE:
+            pcm = codecs.resample(pcm, sample_rate, SAMPLE_RATE)
+        self._chunks.append(pcm.astype(np.float32))
+
+    def _collect(self) -> np.ndarray:
+        if not self._chunks:
+            return np.zeros(0, dtype=np.float32)
+        audio = np.concatenate(self._chunks)
+        if self._sample_rate != SAMPLE_RATE:
+            audio = codecs.resample(audio, self._sample_rate, SAMPLE_RATE)
+        return audio
+
+    # ------------------------------------------------------------------ #
+    async def handle(self, message: DataChannelMessage) -> List[str]:
+        """Process one control message, returning wire responses."""
+        if message.type == "ping":
+            return [_msg("pong", message.obj or None)]
+
+        if message.type == "start":
+            obj = message.obj
+            self._sample_rate = int(obj.get("sample_rate", SAMPLE_RATE))
+            self._bits = int(obj.get("bits", 16))
+            self._channels = int(obj.get("channel", obj.get("channels", 1)))
+            self._chunks = []
+            self.recording = True
+            self._start_time = time.perf_counter()
+            return [_msg("log", {"msg": "recording started"})]
+
+        if message.type == "stop":
+            if not self.recording:
+                return [_msg("error", {"msg": "not recording"})]
+            self.recording = False
+            record_ms = (
+                (time.perf_counter() - self._start_time) * 1000
+                if self._start_time
+                else 0.0
+            )
+            audio = self._collect()
+            if audio.shape[0] == 0:
+                return [_msg("error", {"msg": "no audio received"})]
+            obj = message.obj
+            req = ASRRequest(
+                audio=audio,
+                model=str(
+                    obj.get("model")
+                    or self.defaults.get("model")
+                    or self.settings.whisper_model_default
+                ),
+                beam_size=int(
+                    obj.get("beam_size")
+                    or self.defaults.get("beam_size")
+                    or self.settings.beam_size
+                ),
+                detect_language=bool(
+                    obj.get(
+                        "detect_language",
+                        self.defaults.get("detect_language", False),
+                    )
+                ),
+                force_language=obj.get("force_language"),
+                translate=bool(obj.get("translate", False)),
+            )
+            loop = asyncio.get_running_loop()
+            result = await loop.run_in_executor(
+                None, lambda: self.executor.submit_sync(req)
+            )
+            return [
+                _msg("infer", {"text": result.text, "language": result.language,
+                               "time": result.infer_time_ms}),
+                _msg(
+                    "log",
+                    {
+                        "msg": (
+                            f"infer {result.infer_time_ms:.1f} ms, "
+                            f"{result.infer_speedup}x realtime, "
+                            f"recorded {record_ms:.0f} ms"
+                        )
+                    },
+                ),
+            ]
+
+        return [_msg("error", {"msg": f"unknown message type {message.type}"})]

@@ -1,0 +1,101 @@
+"""Speaker verification service.
+
+The reference's `do_sv` (main.py:797-879): load audio → sox effects
+(norm, trim to 10 s) → WavLM x-vector embedding → cosine similarity
+against enrolled ``speakers/voice_auth/*.npy`` → {name: score} above
+threshold 0.75, sorted descending.
+
+Here the embedding backend is the JAX WavLM x-vector model
+(wis_tpu.models.wavlm); the enrolled-speaker store and scoring logic are
+backend-agnostic. The sox `norm 8` / `trim 0 10` effect chain is
+reproduced as plain numpy (peak-normalize to -8 dBFS, truncate to 10 s).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+from typing import Dict, Optional
+
+import numpy as np
+
+from wis_tpu.audio.mel import SAMPLE_RATE
+from wis_tpu.settings import APISettings, get_api_settings
+
+logger = logging.getLogger("wis_tpu")
+
+
+def sox_norm_trim(audio: np.ndarray, db: float = -8.0, seconds: float = 10.0) -> np.ndarray:
+    """Reproduce the reference's sox effect chain (main.py:806-809):
+    `norm 8` peak-normalizes to -8 dBFS; `trim 0 10` keeps 10 s."""
+    audio = audio[: int(seconds * SAMPLE_RATE)]
+    peak = np.abs(audio).max()
+    if peak > 0:
+        target = 10.0 ** (db / 20.0)
+        audio = audio * (target / peak)
+    return audio.astype(np.float32)
+
+
+def cosine(a: np.ndarray, b: np.ndarray) -> float:
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    if na == 0 or nb == 0:
+        return 0.0
+    return float(np.dot(a, b) / (na * nb))
+
+
+class SpeakerVerifier:
+    """Enrolled-speaker store + scoring. The embedding function is
+    injected (JAX WavLM by default, lazy-loaded)."""
+
+    def __init__(
+        self,
+        settings: Optional[APISettings] = None,
+        embed_fn=None,
+    ):
+        self.settings = settings or get_api_settings()
+        self._embed_fn = embed_fn
+        self._lock = threading.Lock()
+        self.speaker_dir = self.settings.sv_speaker_dir
+
+    # ------------------------------------------------------------------ #
+    def _embed(self, audio: np.ndarray) -> np.ndarray:
+        if self._embed_fn is None:
+            with self._lock:
+                if self._embed_fn is None:
+                    from wis_tpu.models.wavlm import default_embedder
+
+                    self._embed_fn = default_embedder()
+        return np.asarray(self._embed_fn(sox_norm_trim(audio))).reshape(-1)
+
+    # ------------------------------------------------------------------ #
+    def enrolled(self) -> Dict[str, np.ndarray]:
+        out = {}
+        if os.path.isdir(self.speaker_dir):
+            for fname in sorted(os.listdir(self.speaker_dir)):
+                if fname.endswith(".npy"):
+                    out[fname[:-4]] = np.load(
+                        os.path.join(self.speaker_dir, fname)
+                    ).reshape(-1)
+        return out
+
+    def enroll(self, name: str, audio: np.ndarray) -> np.ndarray:
+        emb = self._embed(audio)
+        os.makedirs(self.speaker_dir, exist_ok=True)
+        np.save(os.path.join(self.speaker_dir, f"{name}.npy"), emb)
+        logger.info("SV: enrolled speaker %s", name)
+        return emb
+
+    def verify(self, audio: np.ndarray) -> Dict[str, float]:
+        """{speaker: score} for all enrolled speakers above threshold,
+        sorted descending (reference main.py:853-866)."""
+        emb = self._embed(audio)
+        scores = {
+            name: cosine(emb, ref) for name, ref in self.enrolled().items()
+        }
+        hits = {
+            k: round(v, 4)
+            for k, v in sorted(scores.items(), key=lambda kv: -kv[1])
+            if v >= self.settings.sv_threshold
+        }
+        return hits
