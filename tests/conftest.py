@@ -7,17 +7,22 @@ exercise the same pjit/Mesh code paths on 8 virtual CPU devices (SURVEY.md
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import pathlib
 
 import jax
 import pytest
+
+# The hosting environment pins JAX_PLATFORMS to its TPU plugin via a site
+# hook, so the env var alone is not enough — force the CPU backend through
+# the config API before any backend initialization.
+jax.config.update("jax_platforms", "cpu")
 
 # This JAX build's default matmul precision truncates inputs to bf16 even on
 # CPU; numeric-parity tests compare f32 math, so force full precision here.

@@ -1,0 +1,156 @@
+"""Device mesh + sharding rules.
+
+The reference's multi-device story is CTranslate2 `device_index=[0..N-1]`
+— an independent model replica per CUDA device with host-side dispatch
+(reference main.py:294-295, 341-443) and **no collectives** (SURVEY.md
+§5). The TPU equivalents:
+
+- **Replica data-parallelism** (the `device_index` analog): a 1-D
+  ``("data",)`` mesh; every parameter is replicated, request batches are
+  sharded along ``data``; XLA inserts no collectives on the forward pass
+  — each chip transcribes its shard of the batch independently over ICI-
+  free math. Host-side, the dynamic batcher feeds the mesh-wide batch.
+- **Tensor parallelism** (capacity escape hatch for large-v2 when HBM is
+  tight or latency must shrink): attention heads and MLP hidden are
+  sharded over a ``("model",)`` axis using GSPMD sharding propagation —
+  q/k/v projections column-sharded, output projections row-sharded,
+  mlp w1 column- / w2 row-sharded — yielding one `psum` (all-reduce over
+  ICI) per attention block and one per MLP, the standard Megatron layout.
+- Both compose on a 2-D ``("data", "model")`` mesh.
+
+No NCCL translation happened here: collectives are implied by
+`jax.sharding` annotations and inserted by XLA over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from wis_tpu.models.whisper.config import WhisperConfig
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ("data", "model") mesh over local devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    n = n_data * n_model
+    grid = np.asarray(devices[:n]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+# --------------------------------------------------------------------------- #
+# Whisper tensor-parallel sharding specs
+# --------------------------------------------------------------------------- #
+def _block_specs(cross: bool) -> dict:
+    """PartitionSpecs for one stacked block pytree (leading layer axis).
+
+    Megatron layout: column-parallel in-projections (shard the output/
+    head dim), row-parallel out-projections (shard the input dim) so each
+    block needs exactly one all-reduce per attention and one per MLP.
+    """
+    attn = {
+        "q_w": P(None, None, "model"),
+        "q_b": P(None, "model"),
+        "k_w": P(None, None, "model"),
+        "v_w": P(None, None, "model"),
+        "v_b": P(None, "model"),
+        "o_w": P(None, "model", None),
+        "o_b": P(None, None),
+    }
+    out = {
+        "attn_ln": {"g": P(None, None), "b": P(None, None)},
+        "attn": dict(attn),
+        "mlp_ln": {"g": P(None, None), "b": P(None, None)},
+        "mlp": {
+            "w1": P(None, None, "model"),
+            "b1": P(None, "model"),
+            "w2": P(None, "model", None),
+            "b2": P(None, None),
+        },
+    }
+    if cross:
+        out["cross_ln"] = {"g": P(None, None), "b": P(None, None)}
+        out["cross"] = dict(attn)
+    return out
+
+
+def _is_spec(x) -> bool:
+    return isinstance(x, P)
+
+
+def whisper_param_specs(cfg: WhisperConfig, tensor_parallel: bool = True) -> dict:
+    """PartitionSpec pytree matching the whisper param pytree layout.
+
+    tensor_parallel=False → fully replicated (pure replica DP)."""
+    if not tensor_parallel:
+        return jax.tree.map(lambda _: P(), _skeleton(cfg))
+    return {
+        "encoder": {
+            "conv1": {"w": P(None, None, "model"), "b": P("model")},
+            "conv2": {"w": P(None, None, "model"), "b": P("model")},
+            "pos": P(None, None),
+            "blocks": _block_specs(cross=False),
+            "ln_post": {"g": P(None), "b": P(None)},
+        },
+        "decoder": {
+            "tok_emb": P(None, None),
+            "pos": P(None, None),
+            "blocks": _block_specs(cross=True),
+            "ln": {"g": P(None), "b": P(None)},
+        },
+    }
+
+
+def _skeleton(cfg: WhisperConfig) -> dict:
+    """A cheap pytree with the same structure as the params (for building
+    replicated spec trees without materializing weights)."""
+    from wis_tpu.models.whisper.weights import random_params
+
+    micro = WhisperConfig(
+        name="skeleton",
+        n_audio_state=8,
+        n_audio_head=2,
+        n_audio_layer=1,
+        n_text_state=8,
+        n_text_head=2,
+        n_text_layer=1,
+        n_vocab=64,
+        n_audio_ctx=4,
+        n_text_ctx=4,
+    )
+    return random_params(micro, seed=0)
+
+
+def shard_params(params, mesh: Mesh, specs) -> dict:
+    """Place params on the mesh per the spec tree.
+
+    PartitionSpec is a tuple subclass, so the spec tree is mapped as the
+    primary tree with an is_leaf guard to stop descent into the specs.
+    """
+    return jax.tree.map(
+        lambda s, a: jax.device_put(a, NamedSharding(mesh, s)),
+        specs,
+        params,
+        is_leaf=_is_spec,
+    )
+
+
+def replicate_params(params, mesh: Mesh) -> dict:
+    """Replicate every parameter across the whole mesh (replica DP)."""
+    return jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P())), params
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch axis over the data axis."""
+    return NamedSharding(mesh, P("data"))

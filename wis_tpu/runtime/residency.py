@@ -51,9 +51,17 @@ class ModelRegistry:
     """Lazy, thread-safe model store (the `LazyModels` analog,
     reference main.py:319-448)."""
 
-    def __init__(self, settings: Optional[APISettings] = None, dtype=None):
+    def __init__(
+        self,
+        settings: Optional[APISettings] = None,
+        dtype=None,
+        device=None,
+    ):
         self.settings = settings or get_api_settings()
         self.dtype = dtype or getattr(jnp, self.settings.dtype)
+        #: pin parameters to a specific chip (replica pool, the
+        #: `device_index` analog) — None uses the default device
+        self.device = device
         self._models: Dict[str, LoadedModel] = {}
         self._lock = threading.Lock()
         self._tokenizer: Optional[WhisperTokenizer] = None
@@ -110,6 +118,8 @@ class ModelRegistry:
             params = load_or_init_params(
                 cfg, self._model_dir(size), seed=hash(size) % 2**31, dtype=self.dtype
             )
+            if self.device is not None:
+                params = jax.device_put(params, self.device)
             param_bytes = sum(
                 a.size * a.dtype.itemsize for a in jax.tree.leaves(params)
             )
