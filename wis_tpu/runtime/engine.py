@@ -76,6 +76,9 @@ class WhisperEngine:
         registry: Optional[ModelRegistry] = None,
         settings: Optional[APISettings] = None,
     ):
+        from wis_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.settings = settings or get_api_settings()
         self.registry = registry or ModelRegistry(self.settings)
         self._programs: Dict[tuple, object] = {}

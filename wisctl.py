@@ -1,0 +1,210 @@
+#!/usr/bin/env python3
+"""wisctl — ops CLI for the TPU Willow Inference Server.
+
+The Python analog of the reference's utils.sh (reference utils.sh:309-437:
+install | run | download-models | gen-cert | gen-auth | useradd | shell |
+freeze-requirements). Subcommands:
+
+    wisctl run [--port 19000]        start the ASR server
+    wisctl run-tts [--port 19010]    start the TTS server
+    wisctl download-models [sizes]   fetch + convert HF whisper checkpoints
+    wisctl convert-model <src> <dst> convert a local HF checkpoint dir
+    wisctl gen-cert [--host H]       self-signed TLS cert for nginx
+    wisctl gen-auth <api-key>        nginx x-api-key auth map
+    wisctl useradd <user>            htpasswd-style basic-auth entry
+    wisctl bench                     run the headline benchmark
+    wisctl check                     environment / device diagnostic
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+SIZES = ("tiny", "base", "small", "medium", "large")
+HF_REPOS = {s: f"openai/whisper-{'large-v2' if s == 'large' else s}" for s in SIZES}
+
+
+def cmd_run(args) -> int:
+    from wis_tpu.server.app import create_app
+    from wis_tpu.utils.logging import configure_logging
+    from aiohttp import web
+
+    configure_logging()
+    web.run_app(create_app(warmup=not args.no_warmup), port=args.port)
+    return 0
+
+
+def cmd_run_tts(args) -> int:
+    from wis_tpu.server.tts_app import create_tts_app
+    from wis_tpu.utils.logging import configure_logging
+    from aiohttp import web
+
+    configure_logging()
+    web.run_app(create_tts_app(), port=args.port)
+    return 0
+
+
+def cmd_download_models(args) -> int:
+    """Fetch HF checkpoints into models/<size>/ (reference utils.sh:99-108
+    clones tovera/wis-whisper-*; here: HF hub snapshots of the upstream
+    openai checkpoints, which our loader converts natively)."""
+    from huggingface_hub import snapshot_download
+
+    sizes = args.sizes or list(SIZES)
+    for size in sizes:
+        repo = HF_REPOS[size]
+        dest = os.path.join(args.model_dir, size)
+        print(f"downloading {repo} -> {dest}")
+        snapshot_download(
+            repo,
+            local_dir=dest,
+            allow_patterns=[
+                "*.safetensors", "config.json", "generation_config.json",
+                "tokenizer.json", "vocab.json", "merges.txt",
+                "added_tokens.json", "special_tokens_map.json",
+            ],
+        )
+    return 0
+
+
+def cmd_convert_model(args) -> int:
+    """Validate that a local HF checkpoint converts + runs."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wis_tpu.models.whisper.config import WHISPER_CONFIGS
+    from wis_tpu.models.whisper.model import encode
+    from wis_tpu.models.whisper.weights import _hf_tensors, params_from_hf
+
+    cfg = WHISPER_CONFIGS[args.size]
+    tensors = _hf_tensors(args.src)
+    if not tensors:
+        print(f"no safetensors found in {args.src}", file=sys.stderr)
+        return 1
+    params = params_from_hf(tensors, cfg)
+    out = encode(params, jnp.zeros((1, cfg.n_mels, 3000), jnp.float32), cfg)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    print(f"converted {args.size}: encoder OK, output {out.shape}")
+    return 0
+
+
+def cmd_gen_cert(args) -> int:
+    os.makedirs(args.out, exist_ok=True)
+    cert = os.path.join(args.out, "cert.pem")
+    key = os.path.join(args.out, "key.pem")
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "ec",
+            "-pkeyopt", "ec_paramgen_curve:prime256v1",
+            "-keyout", key, "-out", cert, "-days", "3650", "-nodes",
+            "-subj", f"/CN={args.host}",
+        ],
+        check=True,
+    )
+    print(f"wrote {cert}, {key}")
+    return 0
+
+
+def cmd_gen_auth(args) -> int:
+    template = os.path.join("nginx", "auth.conf.template")
+    with open(template, encoding="utf-8") as f:
+        content = f.read().replace("%%API_KEY%%", args.api_key)
+    out = os.path.join("nginx", "auth.conf")
+    with open(out, "w", encoding="utf-8") as f:
+        f.write(content)
+    print(f"wrote {out}")
+    return 0
+
+
+def cmd_useradd(args) -> int:
+    """htpasswd-style bcrypt-less entry using openssl passwd (APR1)."""
+    import getpass
+
+    password = args.password or getpass.getpass(f"password for {args.user}: ")
+    hashed = subprocess.run(
+        ["openssl", "passwd", "-apr1", password],
+        check=True,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    out = os.path.join("nginx", ".htpasswd")
+    with open(out, "a", encoding="utf-8") as f:
+        f.write(f"{args.user}:{hashed}\n")
+    print(f"added {args.user} to {out}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def cmd_check(args) -> int:
+    import jax
+
+    from wis_tpu.audio import codecs
+
+    print(f"jax {jax.__version__}; devices: {jax.devices()}")
+    print(f"native codecs: {'OK' if codecs.native_available() else 'MISSING'}")
+    from wis_tpu.settings import get_api_settings
+
+    s = get_api_settings()
+    print(f"default model: {s.whisper_model_default}; dtype {s.dtype}")
+    print(f"HBM budget: {s.hbm_budget_bytes / 2**30:.1f} GiB")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="wisctl", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="start the ASR server")
+    r.add_argument("--port", type=int, default=19000)
+    r.add_argument("--no-warmup", action="store_true")
+    r.set_defaults(fn=cmd_run)
+
+    rt = sub.add_parser("run-tts", help="start the TTS server")
+    rt.add_argument("--port", type=int, default=19010)
+    rt.set_defaults(fn=cmd_run_tts)
+
+    d = sub.add_parser("download-models", help="fetch whisper checkpoints")
+    d.add_argument("sizes", nargs="*", choices=list(SIZES) + [[]])
+    d.add_argument("--model-dir", default="models")
+    d.set_defaults(fn=cmd_download_models)
+
+    c = sub.add_parser("convert-model", help="validate a local HF checkpoint")
+    c.add_argument("src")
+    c.add_argument("size", choices=SIZES)
+    c.set_defaults(fn=cmd_convert_model)
+
+    g = sub.add_parser("gen-cert", help="self-signed TLS cert")
+    g.add_argument("--host", default="localhost")
+    g.add_argument("--out", default="nginx/certs")
+    g.set_defaults(fn=cmd_gen_cert)
+
+    a = sub.add_parser("gen-auth", help="nginx API-key map")
+    a.add_argument("api_key")
+    a.set_defaults(fn=cmd_gen_auth)
+
+    u = sub.add_parser("useradd", help="basic-auth user")
+    u.add_argument("user")
+    u.add_argument("--password")
+    u.set_defaults(fn=cmd_useradd)
+
+    b = sub.add_parser("bench", help="run the headline benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    ck = sub.add_parser("check", help="environment diagnostic")
+    ck.set_defaults(fn=cmd_check)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
