@@ -1,0 +1,124 @@
+"""Fully-fused ASR program: ONE device dispatch per request/batch.
+
+The split pipeline (mel → encode → detect → generate) costs a host↔device
+round-trip per stage plus one per result array. This program fuses the
+entire request into a single XLA computation taking raw padded audio and
+returning one packed int32 buffer:
+
+    audio (B, 480000) f32
+      → log-mel (f32 DFT matmuls)
+      → encoder + cross-KV
+      → [static variant] language detect; prompt's lang token replaced
+        on-device with the detected one
+      → prompt prefill + beam-search while_loop
+      → packed int32 (B, K*max_new + K + 3):
+          [tokens (K*max_new)] [lengths (K)] [best] [lang_idx] [lang_prob‰]
+
+One input transfer, one dispatch, one output fetch — the minimum possible
+host involvement (the reference pays a Python→C++ hop per stage,
+main.py:633-693, plus result marshalling).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wis_tpu.audio.mel import _log_mel_jax
+from wis_tpu.decoding.beam import build_generate_xa
+from wis_tpu.decoding.detect import N_LANG, _detect_from_kv
+from wis_tpu.models.whisper.config import WhisperConfig
+from wis_tpu.models.whisper.model import cross_kv, encode
+from wis_tpu.models.whisper.tokenizer import LANG_BASE
+
+
+def build_asr_program(
+    cfg: WhisperConfig,
+    *,
+    beam_size: int,
+    batch: int,
+    max_new_tokens: int,
+    prompt_len: int,
+    suppress_tokens: Tuple[int, ...],
+    begin_suppress_tokens: Tuple[int, ...],
+    detect_language: bool = False,
+    translate: bool = False,
+    length_penalty: float = 1.0,
+):
+    """Return jitted asr(params, audio_i16 (B, n_samples), prompt (B, P),
+    token_cap) → packed int32 (B, W) with W = K*max_new + K + 3, doubled
+    (transcribe ++ translate halves) when translate=True.
+
+    Audio crosses the PCIe/host boundary as int16 (the source bit depth —
+    halves transfer size); scaling to float happens on device.
+    """
+    from wis_tpu.models.whisper.tokenizer import TRANSLATE
+
+    K = beam_size
+    gen = build_generate_xa(
+        cfg,
+        beam_size=beam_size,
+        batch=batch,
+        max_new_tokens=max_new_tokens,
+        prompt_len=prompt_len,
+        suppress_tokens=suppress_tokens,
+        begin_suppress_tokens=begin_suppress_tokens,
+        length_penalty=length_penalty,
+    )
+
+    @jax.jit
+    def asr(params, audio_i16, prompt, token_cap):
+        audio = audio_i16.astype(jnp.float32) / 32768.0
+        mel = _log_mel_jax(audio, n_mels=cfg.n_mels)  # (B, 80, 3000)
+        xa = encode(params, mel, cfg)
+        xa_kv = cross_kv(params, xa, cfg)
+
+        if detect_language:
+            lang_idx, lang_prob = _detect_from_kv(params, xa_kv, cfg)
+            prompt = prompt.at[:, 1].set(LANG_BASE + lang_idx)
+        else:
+            lang_idx = jnp.full((batch,), -1, jnp.int32)
+            lang_prob = jnp.zeros((batch,), jnp.float32)
+
+        def pack(result):
+            return jnp.concatenate(
+                [
+                    result.tokens.reshape(batch, K * max_new_tokens),
+                    result.lengths.astype(jnp.int32),
+                    result.best[:, None],
+                    lang_idx[:, None],
+                    (lang_prob * 1000).astype(jnp.int32)[:, None],
+                ],
+                axis=1,
+            )
+
+        packed = pack(gen(params, xa_kv, prompt, token_cap))
+        if translate:
+            tr_prompt = prompt.at[:, 2].set(TRANSLATE)
+            packed = jnp.concatenate(
+                [packed, pack(gen(params, xa_kv, tr_prompt, token_cap))], axis=1
+            )
+        return packed
+
+    return asr
+
+
+def unpack_asr_result(packed: np.ndarray, beam_size: int, max_new_tokens: int):
+    """Host-side unpack of one packed half → (tokens (B,K,max), lengths
+    (B,K), best (B,), lang_idx (B,), lang_prob (B,))."""
+    b = packed.shape[0]
+    k = beam_size
+    tokens = packed[:, : k * max_new_tokens].reshape(b, k, max_new_tokens)
+    lengths = packed[:, k * max_new_tokens : k * max_new_tokens + k]
+    best = packed[:, k * max_new_tokens + k]
+    lang_idx = packed[:, k * max_new_tokens + k + 1]
+    lang_prob = packed[:, k * max_new_tokens + k + 2].astype(np.float32) / 1000.0
+    return tokens, lengths, best, lang_idx, lang_prob
+
+
+def packed_width(beam_size: int, max_new_tokens: int) -> int:
+    return beam_size * max_new_tokens + beam_size + 3

@@ -7,19 +7,20 @@ override, >30 s chunking with LCS merge, optional language detection and
 speech→English translation, per-stage timing returned to the caller — but
 restructured for XLA:
 
-- **Compile-once programs**: encoder and decoder programs are built per
-  (model, batch-bucket[, beam]) with static shapes and cached; requests
-  pad up to the nearest bucket (replaces the reference's per-call
-  CTranslate2 dispatch and `warm_models`, main.py:480-511).
-- **One encoder pass per window group**: language detection, the
-  transcribe pass, and the translate pass all consume the same resident
-  cross-attention K/V (the reference re-encodes inside every CT2
-  `generate`/`detect_language` call).
+- **One dispatch per request**: the whole pipeline — int16 audio → mel →
+  encoder → (optional on-device language detect feeding the prompt) →
+  KV-cached beam search → packed int32 result — is ONE compiled program
+  (wis_tpu.decoding.fused), compiled per (model, beam, batch-bucket,
+  detect, translate) and cached. The reference pays a Python→C++→CUDA
+  hop per stage (main.py:633-693); here the host touches the device
+  exactly twice per request: one transfer in, one fetch out.
+- **Static shapes**: requests pad to batch buckets; the runtime token
+  cap is a traced scalar so short utterances exit the decode loop early
+  without recompiles.
 - **Translate correctness**: the reference's translate guard is broken
-  (`len(total_chunk_count)` on an int, main.py:729 — raises whenever
-  translate=True with chunking) and it returns only the first window's
-  translation. Here translate runs over all windows and LCS-merges, per
-  the documented intent (SURVEY.md "known reference quirks").
+  (`len(total_chunk_count)` on an int, main.py:729) and returns only the
+  first window's translation; here translate is a fused second beam pass
+  over the resident encoder states, LCS-merged across all windows.
 """
 
 from __future__ import annotations
@@ -29,15 +30,16 @@ import math
 import re
 import threading
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from wis_tpu.audio.chunking import Stride, chunk_iter, find_longest_common_sequence
-from wis_tpu.audio.mel import SAMPLE_RATE, log_mel_spectrogram, pad_or_trim
-from wis_tpu.decoding.beam import build_encode, build_generate_xa, trim_tokens
-from wis_tpu.decoding.detect import build_detect_language_xa, lang_index_to_code
+from wis_tpu.audio.mel import N_SAMPLES, SAMPLE_RATE, pad_or_trim
+from wis_tpu.decoding.beam import trim_tokens
+from wis_tpu.decoding.detect import lang_index_to_code
+from wis_tpu.decoding.fused import build_asr_program, packed_width, unpack_asr_result
 from wis_tpu.languages import to_language_code
 from wis_tpu.models.whisper.tokenizer import build_prompt
 from wis_tpu.runtime.residency import LoadedModel, ModelRegistry
@@ -70,6 +72,10 @@ class TranscriptionResult:
         )
 
 
+def _to_i16(audio: np.ndarray) -> np.ndarray:
+    return np.clip(audio * 32768.0, -32768, 32767).astype(np.int16)
+
+
 class WhisperEngine:
     def __init__(
         self,
@@ -91,8 +97,9 @@ class WhisperEngine:
     # ------------------------------------------------------------------ #
     # Program cache
     # ------------------------------------------------------------------ #
-    def _program(self, kind: str, model: LoadedModel, **kw):
-        key = (kind, model.name, tuple(sorted(kw.items())))
+    def _program(self, model: LoadedModel, *, beam: int, batch: int,
+                 prompt_len: int, detect: bool, translate: bool):
+        key = (model.name, beam, batch, prompt_len, detect, translate)
         prog = self._programs.get(key)
         if prog is not None:
             return prog
@@ -100,23 +107,18 @@ class WhisperEngine:
             prog = self._programs.get(key)
             if prog is not None:
                 return prog
-            if kind == "encode":
-                prog = build_encode(model.cfg)
-            elif kind == "generate":
-                tok = model.tokenizer
-                prog = build_generate_xa(
-                    model.cfg,
-                    beam_size=kw["beam"],
-                    batch=kw["batch"],
-                    max_new_tokens=self.settings.max_decode_tokens,
-                    prompt_len=kw["prompt_len"],
-                    suppress_tokens=tok.suppress_tokens,
-                    begin_suppress_tokens=tok.begin_suppress_tokens,
-                )
-            elif kind == "detect":
-                prog = build_detect_language_xa(model.cfg)
-            else:
-                raise KeyError(kind)
+            tok = model.tokenizer
+            prog = build_asr_program(
+                model.cfg,
+                beam_size=beam,
+                batch=batch,
+                max_new_tokens=self.settings.max_decode_tokens,
+                prompt_len=prompt_len,
+                suppress_tokens=tok.suppress_tokens,
+                begin_suppress_tokens=tok.begin_suppress_tokens,
+                detect_language=detect,
+                translate=translate,
+            )
             self._programs[key] = prog
             return prog
 
@@ -142,8 +144,97 @@ class WhisperEngine:
         for name in models:
             for beam in beams:
                 for _ in range(max(1, s.warmup_iterations)):
-                    self.transcribe(audio, model=name, beam_size=beam)
+                    self.transcribe(audio, model=name, beam_size=beam, max_tokens=4)
         logger.info("ENGINE: warmup complete (%s x beams %s)", models, beams)
+
+    # ------------------------------------------------------------------ #
+    # Core execution helper: run padded windows through fused programs
+    # ------------------------------------------------------------------ #
+    def _run_windows(
+        self,
+        loaded: LoadedModel,
+        windows_i16: np.ndarray,  # (n, N_SAMPLES) int16
+        prompts: np.ndarray,  # (n, P) int32
+        beam: int,
+        detect: bool,
+        translate: bool,
+        token_cap: int,
+        timer: StageTimer,
+        per_window_detect: bool = False,
+    ):
+        """Returns per-window dicts {tokens, length, lang_idx, lang_prob,
+        tr_tokens, tr_length}.
+
+        per_window_detect=False: the windows are one request's chunks —
+        only the first group detects and later groups inherit its language
+        (reference main.py:633-644). True: every window is an independent
+        request (coalesced batch) — each detects for itself."""
+        s = self.settings
+        n = windows_i16.shape[0]
+        bucket = self._bucket(min(n, max(1, s.concurrent_gpu_chunks)))
+        max_new = s.max_decode_tokens
+        width = packed_width(beam, max_new)
+        out = []
+        resolved_lang_tok: Optional[int] = None
+
+        for start in range(0, n, bucket):
+            g_audio = windows_i16[start : start + bucket]
+            g_prompts = prompts[start : start + bucket].copy()
+            pad = bucket - g_audio.shape[0]
+            if pad:
+                g_audio = np.concatenate(
+                    [g_audio, np.zeros((pad, g_audio.shape[1]), np.int16)]
+                )
+                g_prompts = np.concatenate(
+                    [g_prompts, np.tile(g_prompts[-1:], (pad, 1))]
+                )
+            # only the first group of a chunked request detects; later
+            # groups reuse the resolved language (reference main.py:633-644)
+            g_detect = detect and (per_window_detect or start == 0)
+            if resolved_lang_tok is not None and not per_window_detect:
+                g_prompts[:, 1] = resolved_lang_tok
+            prog = self._program(
+                loaded,
+                beam=beam,
+                batch=bucket,
+                prompt_len=prompts.shape[1],
+                detect=g_detect,
+                translate=translate,
+            )
+            with timer.span("asr_dispatch", trace=True):
+                packed = np.asarray(
+                    prog(
+                        loaded.params,
+                        jnp.asarray(g_audio),
+                        jnp.asarray(g_prompts),
+                        jnp.int32(token_cap),
+                    )
+                )
+            main = unpack_asr_result(packed[:, :width], beam, max_new)
+            tr = (
+                unpack_asr_result(packed[:, width:], beam, max_new)
+                if translate
+                else None
+            )
+            tokens, lengths, best, lang_idx, lang_prob = main
+            if g_detect and not per_window_detect and n > 1 and lang_idx[0] >= 0:
+                from wis_tpu.models.whisper.tokenizer import LANG_BASE
+
+                resolved_lang_tok = LANG_BASE + int(lang_idx[0])
+            for bi in range(min(bucket, n - start)):
+                k = int(best[bi])
+                entry = {
+                    "tokens": tokens[bi, k],
+                    "length": int(lengths[bi, k]),
+                    "lang_idx": int(lang_idx[bi]),
+                    "lang_prob": float(lang_prob[bi]),
+                }
+                if tr is not None:
+                    tk = int(tr[2][bi])
+                    entry["tr_tokens"] = tr[0][bi, tk]
+                    entry["tr_length"] = int(tr[1][bi, tk])
+                out.append(entry)
+        return out
 
     # ------------------------------------------------------------------ #
     # The hot path
@@ -180,105 +271,53 @@ class WhisperEngine:
         if duration_ms > 30_000 and not s.support_chunking:
             logger.warning("ENGINE: audio > 30 s without chunking — truncating")
 
-        # ---- features ---- #
+        # ---- windows ---- #
         with timer.span("features"):
             strides: List[Stride] = []
             if use_chunking:
-                windows = []
+                chunks = []
                 for chunk, stride in chunk_iter(audio):
-                    windows.append(pad_or_trim(chunk))
+                    chunks.append(pad_or_trim(chunk))
                     strides.append(stride)
-                mel = log_mel_spectrogram(np.stack(windows))
+                windows = _to_i16(np.stack(chunks))
             else:
-                mel = log_mel_spectrogram(pad_or_trim(audio))[None]
-        n_windows = mel.shape[0]
+                windows = _to_i16(pad_or_trim(audio))[None]
+        n = windows.shape[0]
 
-        # ---- group into static batch buckets ---- #
-        group_size = self._bucket(min(n_windows, max(1, s.concurrent_gpu_chunks)))
-        groups: List[np.ndarray] = []
-        for i in range(0, n_windows, group_size):
-            g = mel[i : i + group_size]
-            if g.shape[0] < group_size:
-                g = np.concatenate(
-                    [g, np.zeros((group_size - g.shape[0],) + g.shape[1:], g.dtype)]
-                )
-            groups.append(g)
-
-        encode_fn = self._program("encode", loaded)
+        # ---- language + prompts ---- #
+        language = s.language
+        detect = bool(detect_language and not force_language)
+        if force_language:
+            language = to_language_code(force_language)
+        prompt = np.asarray(build_prompt(language, task), np.int32)
+        prompts = np.tile(prompt[None], (n, 1))
 
         with self.device_lock:
-            # ---- encode all window groups ---- #
-            with timer.span("encode", trace=True):
-                xa_kvs = [
-                    encode_fn(loaded.params, jnp.asarray(g)) for g in groups
-                ]
-
-            # ---- language ---- #
-            language = s.language
-            detect_prob = None
-            if detect_language and not force_language:
-                with timer.span("detect_language", trace=True):
-                    detect_fn = self._program(
-                        "detect", loaded, batch=groups[0].shape[0]
-                    )
-                    idx, prob = detect_fn(loaded.params, xa_kvs[0])
-                    language = lang_index_to_code(int(idx[0]))
-                    detect_prob = float(prob[0])
-                    logger.debug(
-                        "ENGINE: detected language %s (p=%.3f)", language, detect_prob
-                    )
-            elif force_language:
-                language = to_language_code(force_language)
-
-            # ---- transcribe pass ---- #
-            prompt_ids = build_prompt(language, task)
-            gen_fn = self._program(
-                "generate",
+            results = self._run_windows(
                 loaded,
-                beam=beam,
-                batch=group_size,
-                prompt_len=len(prompt_ids),
+                windows,
+                prompts,
+                beam,
+                detect,
+                translate,
+                max_tokens or s.max_decode_tokens,
+                timer,
             )
-            token_cap = jnp.int32(max_tokens or self.settings.max_decode_tokens)
-            prompt = jnp.asarray(prompt_ids, jnp.int32)
-            with timer.span("generate", trace=True):
-                results = [
-                    gen_fn(loaded.params, xa_kv, prompt, token_cap)
-                    for xa_kv in xa_kvs
-                ]
-                # block on the last result; all prior work is ordered
-                results[-1].tokens.block_until_ready()
-
-            # ---- translate pass (reuses resident xa_kv) ---- #
-            translation = None
-            if translate:
-                with timer.span("translate", trace=True):
-                    tr_prompt_ids = build_prompt(language, "translate")
-                    tr_fn = self._program(
-                        "generate",
-                        loaded,
-                        beam=beam,
-                        batch=group_size,
-                        prompt_len=len(tr_prompt_ids),
-                    )
-                    tr_results = [
-                        tr_fn(
-                            loaded.params,
-                            xa_kv,
-                            jnp.asarray(tr_prompt_ids, jnp.int32),
-                            token_cap,
-                        )
-                        for xa_kv in xa_kvs
-                    ]
-                    translation = self._merge_and_decode(
-                        tr_results, n_windows, group_size, strides, tok
-                    )
 
         # ---- merge + text decode ---- #
         with timer.span("decode_text"):
-            text = self._merge_and_decode(
-                results, n_windows, group_size, strides, tok
+            if detect and results[0]["lang_idx"] >= 0:
+                language = lang_index_to_code(results[0]["lang_idx"])
+            text = self._merge_seqs(
+                [(r["tokens"], r["length"]) for r in results], strides, tok
             )
+            translation = None
+            if translate:
+                translation = self._merge_seqs(
+                    [(r["tr_tokens"], r["tr_length"]) for r in results],
+                    strides,
+                    tok,
+                )
 
         language = _normalize_language(language)
         infer_ms = timer.total_ms()
@@ -310,100 +349,61 @@ class WhisperEngine:
 
         durations = [int(r.audio.shape[0] / SAMPLE_RATE * 1000) for r in requests]
         with timer.span("features"):
-            windows = np.stack([pad_or_trim(r.audio) for r in requests])
-            mel = log_mel_spectrogram(windows)
-        n = mel.shape[0]
-        bucket = self._bucket(n)
-        if n < bucket:
-            mel = np.concatenate(
-                [mel, np.zeros((bucket - n,) + mel.shape[1:], mel.dtype)]
-            )
+            windows = _to_i16(np.stack([pad_or_trim(r.audio) for r in requests]))
+        n = windows.shape[0]
 
-        encode_fn = self._program("encode", loaded)
+        # any request needing detection compiles the detect variant; the
+        # fused program resolves every row's language on device
+        detect = any(r.detect_language and not r.force_language for r in requests)
+        translate = any(r.translate for r in requests)
+        languages = []
+        prompts = []
+        for r in requests:
+            lang = s.language
+            if r.force_language:
+                lang = to_language_code(r.force_language)
+            languages.append(lang)
+            prompts.append(build_prompt(lang, r.task))
+        prompts = np.asarray(prompts, np.int32)
+
         with self.device_lock:
-            with timer.span("encode", trace=True):
-                xa_kv = encode_fn(loaded.params, jnp.asarray(mel))
-
-            # per-request language resolution (one batched detect pass)
-            languages = [s.language] * n
-            need_detect = [
-                i
-                for i, r in enumerate(requests)
-                if r.detect_language and not r.force_language
-            ]
-            if need_detect:
-                with timer.span("detect_language", trace=True):
-                    detect_fn = self._program("detect", loaded, batch=bucket)
-                    idx, _prob = detect_fn(loaded.params, xa_kv)
-                    idx = np.asarray(idx)
-                for i in need_detect:
-                    languages[i] = lang_index_to_code(int(idx[i]))
-            for i, r in enumerate(requests):
-                if r.force_language:
-                    languages[i] = to_language_code(r.force_language)
-
-            prompts = np.stack(
-                [
-                    build_prompt(languages[i] if i < n else s.language,
-                                 requests[i].task if i < n else "transcribe")
-                    for i in range(n)
-                ]
-                + [build_prompt(s.language, "transcribe")] * (bucket - n)
-            ).astype(np.int32)
-            gen_fn = self._program(
-                "generate",
+            results = self._run_windows(
                 loaded,
-                beam=beam,
-                batch=bucket,
-                prompt_len=prompts.shape[1],
+                windows,
+                prompts,
+                beam,
+                detect,
+                translate,
+                max((r.max_tokens or s.max_decode_tokens) for r in requests),
+                timer,
+                per_window_detect=True,
             )
-            token_cap = jnp.int32(
-                max((r.max_tokens or s.max_decode_tokens) for r in requests)
-            )
-            with timer.span("generate", trace=True):
-                result = gen_fn(loaded.params, xa_kv, jnp.asarray(prompts), token_cap)
-                result.tokens.block_until_ready()
-
-            # translate second pass for any request that asked for it
-            tr_texts: Dict[int, str] = {}
-            want_tr = [i for i, r in enumerate(requests) if r.translate]
-            if want_tr:
-                with timer.span("translate", trace=True):
-                    tr_prompts = prompts.copy()
-                    for i in want_tr:
-                        tr_prompts[i] = np.asarray(
-                            build_prompt(languages[i], "translate"), np.int32
-                        )
-                    tr_res = gen_fn(
-                        loaded.params, xa_kv, jnp.asarray(tr_prompts), token_cap
-                    )
-                    tr_tokens = np.asarray(tr_res.tokens)
-                    tr_lengths = np.asarray(tr_res.lengths)
-                    tr_best = np.asarray(tr_res.best)
-                    for i in want_tr:
-                        k = int(tr_best[i])
-                        tr_texts[i] = tok.decode(
-                            trim_tokens(tr_tokens[i, k], int(tr_lengths[i, k]))
-                        ).strip()
 
         with timer.span("decode_text"):
-            tokens = np.asarray(result.tokens)
-            lengths = np.asarray(result.lengths)
-            best = np.asarray(result.best)
             infer_ms = timer.total_ms()
             out: List[TranscriptionResult] = []
-            for i in range(n):
-                k = int(best[i])
-                text = tok.decode(trim_tokens(tokens[i, k], int(lengths[i, k]))).strip()
+            for i, r in enumerate(requests):
+                entry = results[i]
+                lang = languages[i]
+                if detect and not r.force_language and entry["lang_idx"] >= 0:
+                    lang = lang_index_to_code(entry["lang_idx"])
+                text = tok.decode(
+                    trim_tokens(entry["tokens"], entry["length"])
+                ).strip()
+                translation = None
+                if r.translate and "tr_tokens" in entry:
+                    translation = tok.decode(
+                        trim_tokens(entry["tr_tokens"], entry["tr_length"])
+                    ).strip()
                 speedup = (
                     math.floor(durations[i] / infer_ms) if infer_ms > 0 else 0
                 )
                 out.append(
                     TranscriptionResult(
-                        language=_normalize_language(languages[i]),
+                        language=_normalize_language(lang),
                         text=text,
                         infer_time_ms=infer_ms,
-                        translation=tr_texts.get(i),
+                        translation=translation,
                         infer_speedup=speedup,
                         audio_duration_ms=durations[i],
                         timings=timer.as_dict(),
@@ -412,22 +412,15 @@ class WhisperEngine:
         return out
 
     # ------------------------------------------------------------------ #
-    def _merge_and_decode(
-        self, results, n_windows: int, group_size: int, strides, tok
+    def _merge_seqs(
+        self,
+        seqs_lens: Sequence[Tuple[np.ndarray, int]],
+        strides: Sequence[Stride],
+        tok,
     ) -> str:
-        """Pick best beams, trim at EOT, LCS-merge chunked windows
-        (reference main.py:704-714), decode to text."""
-        seqs: List[np.ndarray] = []
-        for gi, res in enumerate(results):
-            tokens = np.asarray(res.tokens)
-            lengths = np.asarray(res.lengths)
-            best = np.asarray(res.best)
-            for bi in range(tokens.shape[0]):
-                widx = gi * group_size + bi
-                if widx >= n_windows:
-                    break
-                k = int(best[bi])
-                seqs.append(trim_tokens(tokens[bi, k], int(lengths[bi, k])))
+        """Trim at EOT, LCS-merge chunked windows (reference
+        main.py:704-714), decode to text."""
+        seqs = [trim_tokens(t, ln) for t, ln in seqs_lens]
         if strides and len(seqs) > 1:
             merged = find_longest_common_sequence(
                 list(zip(seqs, strides)), tok.all_special_ids
