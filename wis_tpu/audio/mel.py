@@ -120,14 +120,15 @@ def _stft_basis(n_fft: int = N_FFT) -> tuple:
     return cos_b, sin_b
 
 
-@lru_cache(maxsize=None)
-def _frame_indices(n_samples: int, n_fft: int, hop: int) -> np.ndarray:
-    """Frame gather indices for a center-padded signal of n_samples."""
+def _frame_indices(n_samples: int, n_fft: int, hop: int) -> jnp.ndarray:
+    """Frame gather indices for a center-padded signal of n_samples.
+    Built from iota inside the trace (a materialized (3001, 400) index
+    constant would bloat the HLO by ~5 MB and slow compiles)."""
     padded = n_samples + n_fft  # reflect pad n_fft//2 each side
     n_frames_full = 1 + (padded - n_fft) // hop
-    return (
-        np.arange(n_frames_full)[:, None] * hop + np.arange(n_fft)[None, :]
-    ).astype(np.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_frames_full, n_fft), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_frames_full, n_fft), 1)
+    return rows * hop + cols
 
 
 @partial(jax.jit, static_argnames=("n_mels",))
@@ -138,7 +139,7 @@ def _log_mel_jax(audio: jnp.ndarray, n_mels: int = N_MELS) -> jnp.ndarray:
     x = jnp.pad(
         audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)], mode="reflect"
     )
-    idx = jnp.asarray(_frame_indices(n_samples, N_FFT, HOP_LENGTH))
+    idx = _frame_indices(n_samples, N_FFT, HOP_LENGTH)
     frames = jnp.take(x, idx, axis=-1)  # (..., T+1, n_fft)
     cos_b, sin_b = _stft_basis(N_FFT)
     # full fp32 matmuls — the default (bf16-accumulating) MXU precision

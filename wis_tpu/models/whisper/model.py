@@ -60,10 +60,12 @@ def layer_norm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def _linear(x, w, b=None):
-    y = jnp.einsum("...d,df->...f", x, w, preferred_element_type=jnp.float32)
+    from wis_tpu.ops.quant import qmatmul
+
+    y = qmatmul(x, w)
     if b is not None:
-        y = y + b
-    return y.astype(x.dtype)
+        y = (y.astype(jnp.float32) + b).astype(x.dtype)
+    return y
 
 
 def _attn_block(x, blk, layer, n_heads, mask=None, kv=None):

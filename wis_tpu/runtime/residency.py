@@ -118,6 +118,10 @@ class ModelRegistry:
             params = load_or_init_params(
                 cfg, self._model_dir(size), seed=hash(size) % 2**31, dtype=self.dtype
             )
+            if self.settings.quant == "int8":
+                from wis_tpu.ops.quant import quantize_whisper_params
+
+                params = quantize_whisper_params(params)
             if self.device is not None:
                 params = jax.device_put(params, self.device)
             param_bytes = sum(

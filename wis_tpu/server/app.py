@@ -287,6 +287,34 @@ async def sv_endpoint(request: web.Request) -> web.Response:
     return web.json_response({"speakers": results})
 
 
+async def status(request: web.Request) -> web.Response:
+    """Residency/observability snapshot — replaces the reference's
+    log-only visibility (SURVEY.md §5 metrics: timing lives in responses;
+    here residency + queue depth are queryable)."""
+    import jax
+
+    registry = request.app["registry"]
+    executor: InferenceExecutor = request.app["executor"]
+    settings: APISettings = request.app["settings"]
+    return web.json_response(
+        {
+            "devices": [str(d) for d in jax.devices()],
+            "models_loaded": {
+                name: {
+                    "param_bytes": m.param_bytes,
+                    "layers": m.cfg.n_audio_layer,
+                    "d_model": m.cfg.n_audio_state,
+                }
+                for name, m in registry.loaded().items()
+            },
+            "hbm_resident_bytes": registry.resident_bytes(),
+            "hbm_budget_bytes": settings.hbm_budget_bytes,
+            "queue_depth": executor.queue_depth,
+            "compiled_programs": len(request.app["engine"]._programs),
+        }
+    )
+
+
 async def openapi(request: web.Request) -> web.Response:
     return web.json_response(openapi_document(request.app["settings"]))
 
@@ -332,6 +360,7 @@ def create_app(
     app.router.add_post("/api/sv", sv_endpoint)
     app.router.add_get("/api/openapi.json", openapi)
     app.router.add_get("/api/docs", docs)
+    app.router.add_get("/api/status", status)
 
     # static mounts (reference main.py:1110-1122)
     root = static_root or "nginx/static"

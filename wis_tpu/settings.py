@@ -110,6 +110,11 @@ class APISettings(BaseModel):
     # ------------------------------------------------------------------ #
     #: computation dtype for model weights/activations
     dtype: str = "bfloat16"
+    #: weight quantization: "none" | "int8" (per-output-channel symmetric,
+    #: dequant fused into the matmuls — the TPU analog of the reference's
+    #: CTranslate2 int8_float16 compute type, main.py:281-292 / QUANT env
+    #: in utils.sh:70)
+    quant: str = "int8"
     #: static HBM budget per chip in bytes (v5e = 16 GiB); residency
     #: decisions are computed against this instead of runtime VRAM probes
     hbm_budget_bytes: int = 16 * 1024**3
