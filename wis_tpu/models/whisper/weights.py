@@ -40,17 +40,25 @@ def sinusoid_positions(length: int, channels: int) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------- #
-# Random init
+# Random init — generated ON DEVICE via jax.random (a host-side numpy init
+# of large-v2 would build ~6 GB on CPU and ship ~3 GB over PCIe; device
+# generation makes offline/random-weight startup take seconds)
 # --------------------------------------------------------------------------- #
 class _Init:
     def __init__(self, seed: int, dtype):
-        self.rng = np.random.default_rng(seed)
+        import jax
+
+        self.key = jax.random.PRNGKey(seed)
+        self.counter = 0
         self.dtype = dtype
 
     def dense(self, *shape) -> jnp.ndarray:
+        import jax
+
+        self.counter += 1
+        sub = jax.random.fold_in(self.key, self.counter)
         scale = 1.0 / np.sqrt(shape[-2] if len(shape) >= 2 else shape[-1])
-        w = self.rng.standard_normal(shape, dtype=np.float32) * scale
-        return jnp.asarray(w, dtype=self.dtype)
+        return (jax.random.normal(sub, shape, self.dtype) * scale).astype(self.dtype)
 
     def zeros(self, *shape, dtype=None) -> jnp.ndarray:
         return jnp.zeros(shape, dtype=dtype or self.dtype)

@@ -27,15 +27,22 @@ def is_quantized(w) -> bool:
     return isinstance(w, dict) and "q" in w and "s" in w
 
 
+@jax.jit
+def _quantize_on_device(w: jnp.ndarray):
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.rint(w32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def quantize_weight(w: jnp.ndarray) -> QuantLeaf:
     """Per-output-channel symmetric int8 over the last axis: scale has
     shape (..., 1, N) so stacked-layer leaves (L, K, N) quantize
-    per-(layer, output-channel)."""
-    w32 = np.asarray(w, np.float32)
-    absmax = np.max(np.abs(w32), axis=-2, keepdims=True)
-    scale = np.maximum(absmax, 1e-8) / 127.0
-    q = np.clip(np.rint(w32 / scale), -127, 127).astype(np.int8)
-    return {"q": jnp.asarray(q), "s": jnp.asarray(scale, jnp.float32)}
+    per-(layer, output-channel). Runs on device — weights never round-trip
+    to the host."""
+    q, scale = _quantize_on_device(jnp.asarray(w))
+    return {"q": q, "s": scale}
 
 
 def dequantize(w: QuantLeaf, dtype=jnp.bfloat16) -> jnp.ndarray:
