@@ -129,7 +129,10 @@ def encode(params: dict, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
 def cross_kv(params: dict, xa: jnp.ndarray, cfg: WhisperConfig):
     """Precompute per-layer cross-attention K/V from encoder states.
 
-    xa (B, 1500, D) → (k, v) each (L, B, H, 1500, Dh).
+    xa (B, 1500, D) → (k, v) each (L, B, H, Dh, 1500) — **time-minor
+    layout**: head_dim (64) in the TPU lane position would pad to 128 and
+    double the HBM traffic of the per-step cross-KV stream; with time
+    minor the pad is 1500→1536 (2%).
     """
     dec = params["decoder"]
 
@@ -138,7 +141,7 @@ def cross_kv(params: dict, xa: jnp.ndarray, cfg: WhisperConfig):
         v = qkv_heads(
             _linear(xa, blk["cross"]["v_w"], blk["cross"]["v_b"]), cfg.n_text_head
         )
-        return None, (k, v)
+        return None, (k.swapaxes(-1, -2), v.swapaxes(-1, -2))
 
     _, (k, v) = jax.lax.scan(per_layer, None, dec["blocks"])
     return k, v
@@ -150,7 +153,9 @@ def cross_kv(params: dict, xa: jnp.ndarray, cfg: WhisperConfig):
 class DecoderCache(NamedTuple):
     """Preallocated self-attention KV cache.
 
-    k, v: (L, B, H, T_max, Dh); pos: () int32 — number of valid positions.
+    k, v: (L, B, H, Dh, T_max) — time-minor so the head_dim (64) never
+    sits in the 128-wide lane position (which would pad every cache read
+    2×); pos: () int32 — number of valid positions.
     """
 
     k: jnp.ndarray
@@ -165,8 +170,8 @@ class DecoderCache(NamedTuple):
             cfg.n_text_layer,
             batch,
             cfg.n_text_head,
-            max_len,
             cfg.n_text_state // cfg.n_text_head,
+            max_len,
         )
         return cls(
             jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32)
@@ -190,10 +195,22 @@ def _decoder_pass(
     cfg: WhisperConfig,
 ) -> Tuple[jnp.ndarray, DecoderCache]:
     """Shared prefill/step body: run T tokens through the decoder, writing
-    self-attn K/V into the cache at [pos_offset, pos_offset+T)."""
+    self-attn K/V into the cache at [pos_offset, pos_offset+T).
+
+    Structure chosen for the decode hot loop:
+    - layers run under `lax.scan` with the **whole cache in the carry**
+      and the per-layer slice updated in place via dynamic_update_slice —
+      no per-step reallocation/write of the full cache (a scan-ys cache
+      would rewrite all L·B·H·Dh·T bytes every token);
+    - K/V live time-minor (see DecoderCache) so per-step attention reads
+      stream at full lane width;
+    - all beams of a sequence share the encoder K/V via grouped einsum
+      (saves beam_size× cross-KV HBM traffic, the dominant per-step cost
+      after weights).
+    """
     dec = params["decoder"]
     b, t = tokens.shape
-    max_len = cache.k.shape[3]
+    max_len = cache.k.shape[4]
     dtype = cache.k.dtype
 
     x = jnp.take(dec["tok_emb"], tokens, axis=0).astype(dtype)
@@ -205,34 +222,49 @@ def _decoder_pass(
     query_pos = pos_ids[:, None]  # (T, 1)
     mask = (key_pos <= query_pos)[None, None]  # (1, 1, T, T_max)
 
-    xa_k, xa_v = xa_kv
-    # Beam search runs the decoder on batch B*K while the encoder K/V stay
-    # at batch B — all beams of a sequence share them (saves K× cross-KV
-    # HBM traffic vs tiling, the dominant bandwidth cost at beam 5).
+    xa_k, xa_v = xa_kv  # (L, Bx, H, Dh, S)
     group = b // xa_k.shape[1]
+    scale = (cfg.n_text_state // cfg.n_text_head) ** -0.5
+
+    def _self_attn(q, ck, cv):
+        # q (B,H,T,Dh); ck/cv (B,H,Dh,T_max) time-minor
+        scores = jnp.einsum(
+            "bhtd,bhds->bhts", q, ck, preferred_element_type=jnp.float32
+        ) * scale
+        scores = jnp.where(mask, scores, -1e30)
+        w = jax.nn.softmax(scores, axis=-1).astype(cv.dtype)
+        return jnp.einsum("bhts,bhds->bhtd", w, cv)
 
     def _cross_attn(q, xk, xv):
-        dh = q.shape[-1]
-        qg = q.reshape(q.shape[0] // group, group, *q.shape[1:])  # (B,G,H,T,Dh)
+        # q (B,H,T,Dh) → grouped (Bx,G,H,T,Dh); xk/xv (Bx,H,Dh,S)
+        qg = q.reshape(q.shape[0] // group, group, *q.shape[1:])
         scores = jnp.einsum(
-            "bghtd,bhsd->bghts", qg, xk, preferred_element_type=jnp.float32
-        ) * (dh ** -0.5)
+            "bghtd,bhds->bghts", qg, xk, preferred_element_type=jnp.float32
+        ) * scale
         w = jax.nn.softmax(scores, axis=-1).astype(xv.dtype)
-        ctx = jnp.einsum("bghts,bhsd->bghtd", w, xv)
+        ctx = jnp.einsum("bghts,bhds->bghtd", w, xv)
         return ctx.reshape(q.shape)
 
-    def block(x, scanned):
-        blk, xk, xv, ck, cv = scanned
+    def block(carry, scanned):
+        x, k_all, v_all = carry
+        blk, xk, xv, li = scanned
         h = layer_norm(x, blk["attn_ln"]["g"], blk["attn_ln"]["b"])
         q = qkv_heads(_linear(h, blk["attn"]["q_w"], blk["attn"]["q_b"]), cfg.n_text_head)
         k_new = qkv_heads(_linear(h, blk["attn"]["k_w"]), cfg.n_text_head)
         v_new = qkv_heads(
             _linear(h, blk["attn"]["v_w"], blk["attn"]["v_b"]), cfg.n_text_head
         )
-        ck = jax.lax.dynamic_update_slice(ck, k_new.astype(dtype), (0, 0, pos_offset, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v_new.astype(dtype), (0, 0, pos_offset, 0))
+        # in-place column write at [li, :, :, :, pos_offset:pos_offset+t)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k_new.swapaxes(-1, -2).astype(dtype)[None], (li, 0, 0, 0, pos_offset)
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v_new.swapaxes(-1, -2).astype(dtype)[None], (li, 0, 0, 0, pos_offset)
+        )
+        ck = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
         x = x + _linear(
-            merge_heads(mha(q, ck, cv, mask)), blk["attn"]["o_w"], blk["attn"]["o_b"]
+            merge_heads(_self_attn(q, ck, cv)), blk["attn"]["o_w"], blk["attn"]["o_b"]
         )
         h = layer_norm(x, blk["cross_ln"]["g"], blk["cross_ln"]["b"])
         qc = qkv_heads(
@@ -244,10 +276,12 @@ def _decoder_pass(
             blk["cross"]["o_b"],
         )
         x = x + _mlp(layer_norm(x, blk["mlp_ln"]["g"], blk["mlp_ln"]["b"]), blk["mlp"])
-        return x, (ck, cv)
+        return (x, k_all, v_all), None
 
-    x, (new_k, new_v) = jax.lax.scan(
-        block, x, (dec["blocks"], xa_k, xa_v, cache.k, cache.v)
+    (x, new_k, new_v), _ = jax.lax.scan(
+        block,
+        (x, cache.k, cache.v),
+        (dec["blocks"], xa_k, xa_v, jnp.arange(cfg.n_text_layer)),
     )
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
     logits = jnp.einsum(
