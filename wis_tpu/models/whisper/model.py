@@ -226,11 +226,19 @@ def _decoder_pass(
     group = b // xa_k.shape[1]
     scale = (cfg.n_text_state // cfg.n_text_head) ** -0.5
 
+    # TPU MXU accumulates bf16 operands in f32 via preferred_element_type;
+    # the CPU backend lacks that thunk for these contractions, so upcast
+    # there (tests run on CPU; production runs on TPU).
+    on_tpu = jax.default_backend() not in ("cpu",)
+
+    def _score_dot(eq, a, b_):
+        if on_tpu:
+            return jnp.einsum(eq, a, b_, preferred_element_type=jnp.float32)
+        return jnp.einsum(eq, a.astype(jnp.float32), b_.astype(jnp.float32))
+
     def _self_attn(q, ck, cv):
         # q (B,H,T,Dh); ck/cv (B,H,Dh,T_max) time-minor
-        scores = jnp.einsum(
-            "bhtd,bhds->bhts", q, ck, preferred_element_type=jnp.float32
-        ) * scale
+        scores = _score_dot("bhtd,bhds->bhts", q, ck) * scale
         scores = jnp.where(mask, scores, -1e30)
         w = jax.nn.softmax(scores, axis=-1).astype(cv.dtype)
         return jnp.einsum("bhts,bhds->bhtd", w, cv)
@@ -238,9 +246,7 @@ def _decoder_pass(
     def _cross_attn(q, xk, xv):
         # q (B,H,T,Dh) → grouped (Bx,G,H,T,Dh); xk/xv (Bx,H,Dh,S)
         qg = q.reshape(q.shape[0] // group, group, *q.shape[1:])
-        scores = jnp.einsum(
-            "bghtd,bhds->bghts", qg, xk, preferred_element_type=jnp.float32
-        ) * scale
+        scores = _score_dot("bghtd,bhds->bghts", qg, xk) * scale
         w = jax.nn.softmax(scores, axis=-1).astype(xv.dtype)
         ctx = jnp.einsum("bghts,bhds->bghtd", w, xv)
         return ctx.reshape(q.shape)
