@@ -72,14 +72,32 @@ def _attn_block(x, blk, layer, n_heads, mask=None, kv=None):
     """Self- or cross-attention for one (scanned) layer.
 
     kv: None → self-attention over x; (k, v) → use precomputed heads.
+    Long unmasked sequences (the 1500-position encoder) route to the
+    Pallas flash-attention kernel on TPU — scores stay in VMEM instead of
+    materializing (H, T, T) f32 tensors in HBM.
     """
+    import os
+
     q = qkv_heads(_linear(x, blk["q_w"], blk["q_b"]), n_heads)
     if kv is None:
         k = qkv_heads(_linear(x, blk["k_w"]), n_heads)
         v = qkv_heads(_linear(x, blk["v_w"], blk["v_b"]), n_heads)
     else:
         k, v = kv
-    out = merge_heads(mha(q, k, v, mask))
+    use_flash = (
+        mask is None
+        and kv is None
+        and q.shape[-2] >= 512
+        and q.shape[-1] % 8 == 0
+        and jax.default_backend() not in ("cpu",)
+        and not os.environ.get("WIS_NO_FLASH")
+    )
+    if use_flash:
+        from wis_tpu.ops.flash import flash_attention
+
+        out = merge_heads(flash_attention(q, k, v))
+    else:
+        out = merge_heads(mha(q, k, v, mask))
     return _linear(out, blk["o_w"], blk["o_b"])
 
 
