@@ -149,8 +149,24 @@ class APISettings(BaseModel):
         return sorted(int(b) for b in self.batch_buckets)
 
 
+def _load_dotenv(path: str = ".env") -> dict:
+    """Flat KEY=VALUE file support (the reference layers a .env through
+    utils.sh:8-18 and docker-compose env_file). Process env wins."""
+    out = {}
+    if os.path.isfile(path):
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#") or "=" not in line:
+                    continue
+                key, _, value = line.partition("=")
+                out[key.strip().lower()] = value.strip().strip("'\"")
+    return out
+
+
 def _settings_from_env() -> APISettings:
-    env = {k.lower(): v for k, v in os.environ.items()}
+    env = _load_dotenv()
+    env.update({k.lower(): v for k, v in os.environ.items()})
     kwargs = {}
     for field_name, field in APISettings.model_fields.items():
         if field_name in env:
