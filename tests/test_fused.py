@@ -1,0 +1,124 @@
+"""Fused single-dispatch ASR program tests (decoding/fused.py): packing,
+on-device language detect feeding the prompt, fused translate pass."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wis_tpu.decoding.fused import (
+    build_asr_program,
+    packed_width,
+    unpack_asr_result,
+)
+from wis_tpu.models.whisper.config import WhisperConfig
+from wis_tpu.models.whisper.tokenizer import LANG_BASE, TRANSCRIBE, build_prompt
+from wis_tpu.models.whisper.weights import random_params
+
+CFG = WhisperConfig(
+    name="micro-fused",
+    n_audio_state=64,
+    n_audio_head=2,
+    n_audio_layer=2,
+    n_text_state=64,
+    n_text_head=2,
+    n_text_layer=2,
+)
+MAX_NEW = 6
+BEAM = 2
+
+
+@pytest.fixture(scope="module")
+def params():
+    return random_params(CFG, seed=0, dtype=jnp.float32)
+
+
+def _audio_i16(batch=1, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((batch, 480000)) * 0.05 * 32767).astype(np.int16)
+
+
+def _prompts(batch=1):
+    return np.tile(
+        np.asarray([build_prompt("en", "transcribe")], np.int32), (batch, 1)
+    )
+
+
+def test_plain_program_packs_correctly(params):
+    prog = build_asr_program(
+        CFG, beam_size=BEAM, batch=1, max_new_tokens=MAX_NEW, prompt_len=4,
+        suppress_tokens=(), begin_suppress_tokens=(),
+    )
+    packed = np.asarray(
+        prog(params, jnp.asarray(_audio_i16()), jnp.asarray(_prompts()), jnp.int32(MAX_NEW))
+    )
+    assert packed.shape == (1, packed_width(BEAM, MAX_NEW))
+    tokens, lengths, best, lang_idx, lang_prob = unpack_asr_result(
+        packed, BEAM, MAX_NEW
+    )
+    assert tokens.shape == (1, BEAM, MAX_NEW)
+    assert (lengths <= MAX_NEW).all()
+    assert 0 <= best[0] < BEAM
+    assert lang_idx[0] == -1  # detect off
+
+
+def test_detect_variant_sets_language(params):
+    prog = build_asr_program(
+        CFG, beam_size=BEAM, batch=1, max_new_tokens=MAX_NEW, prompt_len=4,
+        suppress_tokens=(), begin_suppress_tokens=(), detect_language=True,
+    )
+    packed = np.asarray(
+        prog(params, jnp.asarray(_audio_i16(seed=1)), jnp.asarray(_prompts()), jnp.int32(MAX_NEW))
+    )
+    _, _, _, lang_idx, lang_prob = unpack_asr_result(packed, BEAM, MAX_NEW)
+    assert 0 <= lang_idx[0] < 99
+    assert 0.0 <= lang_prob[0] <= 1.001
+
+
+def test_translate_variant_packs_both_passes(params):
+    prog = build_asr_program(
+        CFG, beam_size=BEAM, batch=1, max_new_tokens=MAX_NEW, prompt_len=4,
+        suppress_tokens=(), begin_suppress_tokens=(), translate=True,
+    )
+    packed = np.asarray(
+        prog(params, jnp.asarray(_audio_i16(seed=2)), jnp.asarray(_prompts()), jnp.int32(MAX_NEW))
+    )
+    w = packed_width(BEAM, MAX_NEW)
+    assert packed.shape == (1, 2 * w)
+    main = unpack_asr_result(packed[:, :w], BEAM, MAX_NEW)
+    tr = unpack_asr_result(packed[:, w:], BEAM, MAX_NEW)
+    assert main[0].shape == tr[0].shape
+
+
+def test_detect_matches_split_pipeline(params):
+    """The fused detect must agree with the standalone detect program."""
+    from wis_tpu.audio.mel import _log_mel_jax
+    from wis_tpu.decoding.beam import build_encode
+    from wis_tpu.decoding.detect import build_detect_language_xa
+
+    audio = _audio_i16(seed=3)
+    enc = build_encode(CFG)
+    mel = _log_mel_jax(jnp.asarray(audio, jnp.float32) / 32768.0)
+    xa_kv = enc(params, mel)
+    detect = build_detect_language_xa(CFG)
+    idx_ref, _ = detect(params, xa_kv)
+
+    prog = build_asr_program(
+        CFG, beam_size=1, batch=1, max_new_tokens=2, prompt_len=4,
+        suppress_tokens=(), begin_suppress_tokens=(), detect_language=True,
+    )
+    packed = np.asarray(
+        prog(params, jnp.asarray(audio), jnp.asarray(_prompts()), jnp.int32(2))
+    )
+    _, _, _, lang_idx, _ = unpack_asr_result(packed, 1, 2)
+    assert int(lang_idx[0]) == int(idx_ref[0])
+
+
+def test_batched_fused(params):
+    prog = build_asr_program(
+        CFG, beam_size=BEAM, batch=2, max_new_tokens=MAX_NEW, prompt_len=4,
+        suppress_tokens=(), begin_suppress_tokens=(),
+    )
+    packed = np.asarray(
+        prog(params, jnp.asarray(_audio_i16(2, seed=4)), jnp.asarray(_prompts(2)), jnp.int32(MAX_NEW))
+    )
+    assert packed.shape == (2, packed_width(BEAM, MAX_NEW))
