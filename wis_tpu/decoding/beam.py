@@ -112,10 +112,6 @@ def build_generate_xa(
     begin_sup = jnp.asarray(
         _suppress_mask(cfg.n_vocab, tuple(begin_suppress_tokens) + tuple(suppress_tokens))
     )
-    eot_only = jnp.where(
-        jnp.arange(cfg.n_vocab) == EOT, 0.0, NEG_INF
-    )  # finished beams: EOT continues for free
-
     @partial(jax.jit, donate_argnums=())
     def generate(params, xa_kv, prompt, token_cap):
         dtype = params["decoder"]["tok_emb"].dtype
@@ -158,13 +154,30 @@ def build_generate_xa(
             logits, cache = decode_step(
                 params, s.tokens.reshape(BK), s.cache, xa_kv, cfg
             )  # (BK, V) f32
-            lp = jax.nn.log_softmax(logits + sup, axis=-1).reshape(B, K, cfg.n_vocab)
-            lp = jnp.where(s.finished[..., None], eot_only, lp)
-            total = s.sum_lp[..., None] + lp  # (B, K, V)
-            flat = total.reshape(B, K * cfg.n_vocab)
-            new_lp, idx = jax.lax.top_k(flat, K)  # (B, K)
-            parent = idx // cfg.n_vocab
-            tok = (idx % cfg.n_vocab).astype(jnp.int32)
+            masked = logits + sup
+
+            # Two-stage candidate selection: the global top-K of
+            # sum_lp[k] + lp[k, v] is always contained in the per-beam
+            # top-K, so select K candidates per beam first (one narrow
+            # top_k + one logsumexp over the vocab — no normalized
+            # (B, K·V) tensor is ever materialized or reshaped).
+            cand_val, cand_tok = jax.lax.top_k(masked, K)  # (BK, K)
+            lse = jax.scipy.special.logsumexp(masked, axis=-1, keepdims=True)
+            cand_lp = (cand_val - lse).reshape(B, K, K)
+            cand_tok = cand_tok.reshape(B, K, K).astype(jnp.int32)
+
+            # finished beams: a single zero-cost EOT continuation
+            fin = s.finished[..., None]  # (B, K, 1)
+            first_slot = (jnp.arange(K) == 0)[None, None, :]
+            cand_lp = jnp.where(
+                fin, jnp.where(first_slot, 0.0, NEG_INF), cand_lp
+            )
+            cand_tok = jnp.where(fin, EOT, cand_tok)
+
+            total = s.sum_lp[..., None] + cand_lp  # (B, K, K)
+            new_lp, idx = jax.lax.top_k(total.reshape(B, K * K), K)
+            parent = idx // K
+            tok = jnp.take_along_axis(cand_tok.reshape(B, K * K), idx, axis=1)
 
             gather = lambda a: jnp.take_along_axis(a, parent, axis=1)
             par_finished = gather(s.finished)
@@ -178,7 +191,17 @@ def build_generate_xa(
             global_parent = (
                 jnp.arange(B, dtype=jnp.int32)[:, None] * K + parent
             ).reshape(BK)
-            cache = cache.reorder(global_parent)
+            # beam parents are frequently the identity — skip the
+            # full-cache gather (two ~200 MB copies on large-v2) then
+            identity = jnp.array_equal(
+                global_parent, jnp.arange(BK, dtype=jnp.int32)
+            )
+            cache = jax.lax.cond(
+                identity,
+                lambda c: c,
+                lambda c: c.reorder(global_parent),
+                cache,
+            )
             return _State(
                 t=s.t + 1,
                 tokens=tok,
