@@ -71,6 +71,14 @@ def qmatmul(x: jnp.ndarray, w: Weight) -> jnp.ndarray:
 
 
 def _use_pallas(x: jnp.ndarray, q: jnp.ndarray) -> bool:
+    # Measured on v5e: XLA fuses the int8→bf16 dequant into the dot's
+    # operand read and streams weights at near-peak HBM bandwidth
+    # (~1.2 ms for a full large-v2 decoder step), so the custom kernel
+    # is opt-in (WIS_PALLAS_QUANT=1) rather than the default path.
+    import os
+
+    if not os.environ.get("WIS_PALLAS_QUANT"):
+        return False
     if q.ndim != 2:
         return False
     try:
