@@ -69,11 +69,33 @@ class XTTSModel:
         self._programs: Dict[tuple, object] = {}
         self._lock = threading.Lock()
         self._tokenizer = self._load_tokenizer(model_dir)
-        # weights: converted checkpoint if present, else seeded random
-        self.gpt_params = random_gpt(self.cfg.gpt, seed=seed, dtype=dtype)
-        self.vocoder_params = random_hifigan(self.cfg.vocoder, seed=seed + 1, dtype=dtype)
-        if model_dir and os.path.isdir(model_dir):
-            logger.info("XTTS: model dir %s present (converter TBD; random init)", model_dir)
+        # weights: converted Coqui checkpoint if present, else seeded random
+        self.gpt_params = None
+        self.vocoder_params = None
+        ckpt = os.path.join(model_dir or "", "model.pth")
+        if model_dir and os.path.isfile(ckpt):
+            from wis_tpu.models.xtts.convert import (
+                gpt_from_coqui,
+                hifigan_from_coqui,
+                load_coqui_checkpoint,
+            )
+
+            sd = load_coqui_checkpoint(ckpt)
+            if sd:
+                try:
+                    self.gpt_params = gpt_from_coqui(sd, self.cfg.gpt, dtype)
+                    self.vocoder_params = hifigan_from_coqui(
+                        sd, self.cfg.vocoder, dtype
+                    )
+                    logger.info("XTTS: loaded Coqui checkpoint %s", ckpt)
+                except (KeyError, ValueError) as e:
+                    logger.warning("XTTS: checkpoint conversion failed: %s", e)
+        if self.gpt_params is None:
+            logger.warning("XTTS: using seeded random init (no checkpoint)")
+            self.gpt_params = random_gpt(self.cfg.gpt, seed=seed, dtype=dtype)
+            self.vocoder_params = random_hifigan(
+                self.cfg.vocoder, seed=seed + 1, dtype=dtype
+            )
 
     # ------------------------------------------------------------------ #
     def _load_tokenizer(self, model_dir):
