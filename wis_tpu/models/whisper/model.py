@@ -269,33 +269,55 @@ def _decoder_pass(
         ctx = jnp.einsum("bghts,bhds->bghtd", w, xv)
         return ctx.reshape(q.shape)
 
+    n_head = cfg.n_text_head
+    dh = cfg.n_text_state // n_head
+
+    # Single-token decode (t == 1) is the hot loop: with a singleton time
+    # axis, head split/merge and the time-minor cache write are pure
+    # reshapes (identical element order) — ~200 small transpose ops per
+    # step otherwise. Prefill (t > 1) takes the general path.
+    def split_heads(y):  # (B, t, D) → (B, H, t, Dh)
+        if t == 1:
+            return y.reshape(b, n_head, 1, dh)
+        return qkv_heads(y, n_head)
+
+    def unsplit_heads(y):  # (B, H, t, Dh) → (B, t, D)
+        if t == 1:
+            return y.reshape(b, 1, n_head * dh)
+        return merge_heads(y)
+
+    def to_time_minor(y):  # (B, H, t, Dh) → (B, H, Dh, t)
+        if t == 1:
+            return y.reshape(b, n_head, dh, 1)
+        return y.swapaxes(-1, -2)
+
     def block(carry, scanned):
         x, k_all, v_all = carry
         blk, xk, xv, li = scanned
         h = layer_norm(x, blk["attn_ln"]["g"], blk["attn_ln"]["b"])
-        q = qkv_heads(_linear(h, blk["attn"]["q_w"], blk["attn"]["q_b"]), cfg.n_text_head)
-        k_new = qkv_heads(_linear(h, blk["attn"]["k_w"]), cfg.n_text_head)
-        v_new = qkv_heads(
-            _linear(h, blk["attn"]["v_w"], blk["attn"]["v_b"]), cfg.n_text_head
+        q = split_heads(_linear(h, blk["attn"]["q_w"], blk["attn"]["q_b"]))
+        k_new = split_heads(_linear(h, blk["attn"]["k_w"]))
+        v_new = split_heads(
+            _linear(h, blk["attn"]["v_w"], blk["attn"]["v_b"])
         )
         # in-place column write at [li, :, :, :, pos_offset:pos_offset+t)
         k_all = jax.lax.dynamic_update_slice(
-            k_all, k_new.swapaxes(-1, -2).astype(dtype)[None], (li, 0, 0, 0, pos_offset)
+            k_all, to_time_minor(k_new).astype(dtype)[None], (li, 0, 0, 0, pos_offset)
         )
         v_all = jax.lax.dynamic_update_slice(
-            v_all, v_new.swapaxes(-1, -2).astype(dtype)[None], (li, 0, 0, 0, pos_offset)
+            v_all, to_time_minor(v_new).astype(dtype)[None], (li, 0, 0, 0, pos_offset)
         )
         ck = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
         cv = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
         x = x + _linear(
-            merge_heads(_self_attn(q, ck, cv)), blk["attn"]["o_w"], blk["attn"]["o_b"]
+            unsplit_heads(_self_attn(q, ck, cv)), blk["attn"]["o_w"], blk["attn"]["o_b"]
         )
         h = layer_norm(x, blk["cross_ln"]["g"], blk["cross_ln"]["b"])
-        qc = qkv_heads(
-            _linear(h, blk["cross"]["q_w"], blk["cross"]["q_b"]), cfg.n_text_head
+        qc = split_heads(
+            _linear(h, blk["cross"]["q_w"], blk["cross"]["q_b"])
         )
         x = x + _linear(
-            merge_heads(_cross_attn(qc, xk, xv)),
+            unsplit_heads(_cross_attn(qc, xk, xv)),
             blk["cross"]["o_w"],
             blk["cross"]["o_b"],
         )
