@@ -110,27 +110,15 @@ def _mlp(x, blk):
 # Encoder
 # --------------------------------------------------------------------------- #
 def _conv1d(x, w, b, stride):
-    """x (B, T, C_in), w (3, C_in, C_out), 'same' padding, kernel 3.
-
-    Lowered as im2col + one MXU matmul: the stacked window tensor
-    (B, T/stride, 3·C_in) hits the systolic array as a single large dot
-    instead of relying on XLA's conv lowering for this skinny-channel
-    shape (the whisper stem: C_in ∈ {80, D}).
-    """
-    k, c_in, c_out = w.shape
-    assert k == 3
-    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
-    t_out = x.shape[1] // stride
-    windows = jnp.concatenate(
-        [xp[:, s : s + x.shape[1] : stride] for s in range(3)], axis=-1
-    )  # (B, T/stride, 3*C_in)
-    y = jnp.einsum(
-        "btc,cf->btf",
-        windows,
-        w.reshape(3 * c_in, c_out),
+    """x (B, T, C_in), w (K, C_in, C_out), 'same' padding."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(1, 1)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
         preferred_element_type=jnp.float32,
     )
-    del t_out
     return (y + b).astype(x.dtype)
 
 
