@@ -78,14 +78,17 @@ def test_quantize_whisper_params_structure():
     assert is_quantized(blk["q_w"])
     assert blk["q_w"]["q"].shape == (2, 64, 64)
     assert blk["q_w"]["s"].shape == (2, 1, 64)
-    # non-eligible leaves untouched
+    # non-eligible leaves untouched; encoder stays bf16 by default
+    # (compute-bound — dequant only adds work there)
     assert not is_quantized(qp["decoder"]["tok_emb"])
-    assert not is_quantized(qp["encoder"]["conv1"]["w"])
+    assert not is_quantized(qp["encoder"]["blocks"]["attn"]["q_w"])
+    both = quantize_whisper_params(params, subtrees=("encoder", "decoder"))
+    assert is_quantized(both["encoder"]["blocks"]["attn"]["q_w"])
 
 
 def test_quantized_encoder_forward_close():
     params = random_params(CFG, seed=3, dtype=jnp.float32)
-    qp = quantize_whisper_params(params)
+    qp = quantize_whisper_params(params, subtrees=("encoder", "decoder"))
     rng = np.random.default_rng(4)
     mel = jnp.asarray(rng.standard_normal((1, 80, 3000)), jnp.float32)
     ref = np.asarray(encode(params, mel, CFG))

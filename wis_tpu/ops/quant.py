@@ -100,10 +100,16 @@ def _use_pallas(x: jnp.ndarray, q: jnp.ndarray) -> bool:
 _WHISPER_QUANT_KEYS = frozenset({"q_w", "k_w", "v_w", "o_w", "w1", "w2"})
 
 
-def quantize_whisper_params(params: Dict, keys=None) -> Dict:
+def quantize_whisper_params(params: Dict, keys=None, subtrees=("decoder",)) -> Dict:
     """Return a copy of a whisper param tree with eligible weight leaves
-    quantized. Decoder-heavy by default: every attention/MLP projection
-    plus the tied embedding (the logits matmul streams it per step)."""
+    quantized.
+
+    Only the **decoder** quantizes by default: decode steps are
+    HBM-bandwidth-bound on weight streaming (int8 halves it), while the
+    encoder is MXU-compute-bound at T=1500 — there the in-matmul dequant
+    only adds work. `subtrees=("encoder", "decoder")` quantizes both
+    (matching CT2's whole-model int8, at a small encoder latency cost).
+    """
     keys = keys or _WHISPER_QUANT_KEYS
 
     def walk(node):
@@ -117,7 +123,11 @@ def quantize_whisper_params(params: Dict, keys=None) -> Dict:
             return out
         return node
 
-    return walk(params)
+    out = dict(params)
+    for sub in subtrees:
+        if sub in out:
+            out[sub] = walk(out[sub])
+    return out
 
 
 def quantized_bytes(params: Dict) -> int:
