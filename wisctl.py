@@ -173,7 +173,7 @@ def main(argv=None) -> int:
     rt.set_defaults(fn=cmd_run_tts)
 
     d = sub.add_parser("download-models", help="fetch whisper checkpoints")
-    d.add_argument("sizes", nargs="*", choices=list(SIZES) + [[]])
+    d.add_argument("sizes", nargs="*", choices=SIZES)
     d.add_argument("--model-dir", default="models")
     d.set_defaults(fn=cmd_download_models)
 
