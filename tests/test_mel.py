@@ -76,3 +76,17 @@ def test_pad_or_trim():
     assert pad_or_trim(long).shape == (N_SAMPLES,)
     batched = np.ones((2, 7), dtype=np.float32)
     assert pad_or_trim(batched).shape == (2, N_SAMPLES)
+
+
+def test_log_mel_on_real_fixture(flac_fixture_3s):
+    """Mel parity on real speech (the 3.84 s fixture), not just noise."""
+    from wis_tpu.audio.ingest import load_audio
+
+    audio = load_audio(flac_fixture_3s.read_bytes())
+    padded = pad_or_trim(audio)
+    expected = _torch_log_mel(padded, mel_filterbank())
+    got = log_mel_spectrogram(padded)
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+    # the max-8 dB floor bounds the dynamic range to 8/4 = 2.0
+    assert got.max() - got.min() <= 2.0 + 1e-5
+    assert np.isfinite(got).all()
