@@ -254,13 +254,25 @@ def load_or_init_params(
     seed: int = 0,
     dtype=jnp.bfloat16,
 ) -> Dict:
-    """Load converted HF weights from ``model_dir`` if present, else seeded
+    """Load converted HF weights from ``model_dir`` if present (with an
+    Orbax cache of the converted pytree for fast restarts), else seeded
     random init with the exact architecture shapes."""
     if model_dir and os.path.isdir(model_dir):
+        from wis_tpu.models.whisper.checkpoint import (
+            converted_path,
+            load_params,
+            save_params,
+        )
+
+        cached = load_params(converted_path(model_dir))
+        if cached is not None:
+            return cached
         tensors = _hf_tensors(model_dir)
         if tensors:
             logger.info("WHISPER: loading HF weights from %s", model_dir)
-            return params_from_hf(tensors, cfg, dtype)
+            params = params_from_hf(tensors, cfg, dtype)
+            save_params(params, converted_path(model_dir))
+            return params
     logger.warning(
         "WHISPER: no weights found for %s (dir=%s) — using seeded random "
         "init; transcripts will be meaningless but shapes/latency are exact",
