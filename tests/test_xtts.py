@@ -201,3 +201,20 @@ def test_tts_stream_post_missing_latents(model, tmp_path):
         assert resp.status == 400
 
     _run_tts(model, tmp_path, go)
+
+
+def test_text_splitting(model):
+    from wis_tpu.models.xtts.model import split_sentences
+
+    assert split_sentences("One. Two! Three?") == ["One.", "Two!", "Three?"]
+    voice = _voice(model)
+    lat = np.asarray(voice["gpt_cond_latent"], np.float32)
+    emb = np.asarray(voice["speaker_embedding"], np.float32)
+    chunks = list(
+        model.inference_stream_split(
+            "Hi. Bye.", "en", lat, emb,
+            enable_text_splitting=True,
+            stream_chunk_size=8, overlap_wav_len=0, do_sample=False,
+        )
+    )
+    assert len(chunks) >= 2  # at least one chunk per sentence

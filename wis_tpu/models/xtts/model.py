@@ -298,9 +298,29 @@ class XTTSModel:
             if bool(np.asarray(done).all()) or valid < len(toks):
                 break
 
+    def inference_stream_split(
+        self, text: str, language: str, *args, enable_text_splitting: bool = False,
+        **kwargs
+    ) -> Iterator[np.ndarray]:
+        """Like inference_stream, optionally splitting long text into
+        sentences synthesized sequentially (the reference's
+        enable_text_splitting surface, xtts/main.py:243-325)."""
+        pieces = split_sentences(text) if enable_text_splitting else [text]
+        for piece in pieces:
+            if piece.strip():
+                yield from self.inference_stream(piece, language, *args, **kwargs)
+
     def synthesize(self, *args, **kwargs) -> np.ndarray:
         """Non-streaming convenience: concatenate all chunks."""
         chunks = list(self.inference_stream(*args, **kwargs))
         if not chunks:
             return np.zeros(0, np.float32)
         return np.concatenate(chunks)
+
+
+def split_sentences(text: str) -> list:
+    """Naive sentence segmentation for enable_text_splitting."""
+    import re
+
+    parts = re.split(r"(?<=[.!?。！？])\s+", text.strip())
+    return [p for p in parts if p]

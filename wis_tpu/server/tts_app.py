@@ -101,11 +101,18 @@ def _stream_params(query) -> Dict:
         "top_p": f("top_p", 0.8, float),
         "do_sample": query.get("do_sample", "true").lower() in ("1", "true", "t", "yes"),
         "speed": f("speed", 1.0, float),
+        "enable_text_splitting": query.get("enable_text_splitting", "false").lower()
+        in ("1", "true", "t", "yes"),
     }
 
 
 async def _stream_tts(
-    request: web.Request, text: str, language: str, voice: Dict, params: Dict
+    request: web.Request,
+    text: str,
+    language: str,
+    voice: Dict,
+    params: Dict,
+    add_wav_header: bool = True,
 ) -> web.StreamResponse:
     model: XTTSModel = request.app["tts_model"]
     sr = model.cfg.vocoder.sample_rate
@@ -116,14 +123,15 @@ async def _stream_tts(
         }
     )
     await resp.prepare(request)
-    await resp.write(wav_stream_header(sr=sr))
+    if add_wav_header:
+        await resp.write(wav_stream_header(sr=sr))
 
     loop = asyncio.get_running_loop()
     queue: asyncio.Queue = asyncio.Queue(maxsize=4)
 
     def producer():
         try:
-            for chunk in model.inference_stream(
+            for chunk in model.inference_stream_split(
                 text,
                 language,
                 np.asarray(voice["gpt_cond_latent"], np.float32),
@@ -183,7 +191,12 @@ async def tts_stream(request: web.Request) -> web.StreamResponse:
     params = {
         "stream_chunk_size": int(body.get("stream_chunk_size", 20)),
     }
-    return await _stream_tts(request, text, language, voice, params)
+    # add_wav_header mirrors the reference's /tts_stream body field
+    # (xtts/main.py StreamingInputs)
+    add_header = bool(body.get("add_wav_header", True))
+    return await _stream_tts(
+        request, text, language, voice, params, add_wav_header=add_header
+    )
 
 
 async def tts_get(request: web.Request) -> web.StreamResponse:
