@@ -67,8 +67,11 @@ def flash_attention(
     q: jnp.ndarray,  # (B, H, T, D)
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 256,
-    block_k: int = 512,
+    # tiles sized for whisper's 1536-padded encoder: one k-sweep per
+    # q-tile (3 grid steps per head) — small tiles multiply grid-step
+    # fixed costs ~6× for no VMEM benefit at D=64
+    block_q: int = 512,
+    block_k: int = 1536,
 ) -> jnp.ndarray:
     """Unmasked softmax(q kᵀ / √D) v with online softmax. T is padded to a
     tile multiple internally; D should be a multiple of 8 (whisper: 64)."""
