@@ -105,3 +105,26 @@ def test_program_cache_reuse(engine):
     n_before = len(engine._programs)
     engine.transcribe(_audio(1.0, seed=7), model="tiny", beam_size=1)
     assert len(engine._programs) == n_before
+
+
+def test_empty_audio(engine):
+    res = engine.transcribe(np.zeros(0, np.float32), model="tiny", beam_size=1)
+    assert res.audio_duration_ms == 0
+    assert isinstance(res.text, str)
+
+
+def test_exactly_30s_single_window(engine):
+    res = engine.transcribe(_audio(30.0, seed=8), model="tiny", beam_size=1)
+    assert res.audio_duration_ms == 30_000
+
+
+def test_just_over_30s_chunks(engine):
+    res = engine.transcribe(_audio(30.5, seed=9), model="tiny", beam_size=1)
+    assert res.audio_duration_ms == 30_500
+    assert isinstance(res.text, str)
+
+
+def test_max_tokens_cap(engine):
+    res = engine.transcribe(_audio(1.0, seed=10), model="tiny", beam_size=1,
+                            max_tokens=2)
+    assert isinstance(res.text, str)
