@@ -239,6 +239,9 @@ async def ws_asr(request: web.Request) -> web.WebSocketResponse:
                 await ws.send_str(response)
         elif msg.type == web.WSMsgType.BINARY:
             session.feed_pcm(msg.data)
+            if session.vad_triggered:
+                for response in await session.vad_stop():
+                    await ws.send_str(response)
         elif msg.type == web.WSMsgType.ERROR:
             logger.debug("WS: connection error: %s", ws.exception())
     return ws

@@ -73,6 +73,7 @@ class StreamingSession:
         self._bits = 16
         self._channels = 1
         self._start_time: Optional[float] = None
+        self._vad = None  # set when start requests vad-gated endpointing
 
     # ------------------------------------------------------------------ #
     def feed_pcm(self, data: bytes) -> None:
@@ -82,6 +83,19 @@ class StreamingSession:
         if self._channels > 1:
             pcm = codecs.mix_to_mono(pcm.reshape(-1, self._channels))
         self._chunks.append(pcm)
+        if self._vad is not None:
+            self._vad.feed(pcm)
+
+    @property
+    def vad_triggered(self) -> bool:
+        """End-of-utterance detected by server-side VAD (sessions opt in
+        with `start` obj `{"vad": true}`)."""
+        return self._vad is not None and self._vad.utterance_ended
+
+    async def vad_stop(self) -> List[str]:
+        """Run inference after a VAD endpoint, as if `stop` arrived."""
+        responses = await self.handle(DataChannelMessage("stop", {}))
+        return [_msg("log", {"msg": "vad: end of utterance"})] + responses
 
     def feed_float(self, pcm: np.ndarray, sample_rate: int) -> None:
         if not self.recording:
@@ -112,6 +126,12 @@ class StreamingSession:
             self._chunks = []
             self.recording = True
             self._start_time = time.perf_counter()
+            if obj.get("vad"):
+                from wis_tpu.audio.vad import EnergyVAD
+
+                self._vad = EnergyVAD(sample_rate=self._sample_rate)
+            else:
+                self._vad = None
             return [_msg("log", {"msg": "recording started"})]
 
         if message.type == "stop":
