@@ -161,20 +161,43 @@ class XTTSModel:
 
     # ------------------------------------------------------------------ #
     # Voice cloning (reference xtts/main.py:62-74): reference audio →
-    # (gpt_cond_latent, speaker_embedding)
+    # (gpt_cond_latent, speaker_embedding). gpt_cond_latent comes from the
+    # conditioning encoder + perceiver resampler (XTTS's
+    # get_conditioning_latents architecture, models/xtts/conditioning.py).
     # ------------------------------------------------------------------ #
+    def _conditioning(self):
+        if not hasattr(self, "_cond_params"):
+            from wis_tpu.models.xtts.conditioning import (
+                ConditioningConfig,
+                build_clone_program,
+                random_conditioning,
+            )
+
+            g = self.cfg.gpt
+            cond_cfg = ConditioningConfig(
+                n_mels=80,
+                d_model=g.d_model,
+                n_heads=g.n_head,
+                n_blocks=min(6, g.n_layer),
+                n_latents=self.cfg.cond_len,
+                perceiver_heads=min(8, g.n_head),
+                perceiver_depth=2,
+            )
+            self._cond_params = random_conditioning(cond_cfg, dtype=jnp.float32)
+            self._cond_program = build_clone_program(cond_cfg)
+        return self._cond_program, self._cond_params
+
     def clone_speaker(self, audio_16k: np.ndarray) -> Dict[str, list]:
         from wis_tpu.audio.mel import log_mel_spectrogram, pad_or_trim
 
         mel = log_mel_spectrogram(pad_or_trim(audio_16k))  # (80, 3000)
-        d = self.cfg.gpt.d_model
-        n = self.cfg.cond_len
-        # conditioning latents: mel windows mean-pooled + positional mix,
-        # projected into GPT space via the audio embedding table statistics.
-        windows = mel.reshape(80, n, -1).mean(axis=2).T  # (n, 80)
-        proj = np.tile(windows, (1, d // 80 + 1))[:, :d]
-        cond = (proj / max(np.abs(proj).max(), 1e-6)).astype(np.float16)
-        # speaker embedding: spectral statistics vector (cond_dim)
+        program, cond_params = self._conditioning()
+        cond = np.asarray(
+            program(cond_params, jnp.asarray(mel[None], jnp.float32)),
+            np.float16,
+        )
+        # speaker embedding for the vocoder conditioning path: spectral
+        # statistics (a WavLM x-vector can be injected via server config)
         cdim = self.cfg.vocoder.cond_dim
         stats = np.concatenate([mel.mean(axis=1), mel.std(axis=1)])  # (160,)
         emb = np.tile(stats, cdim // stats.shape[0] + 1)[:cdim]
