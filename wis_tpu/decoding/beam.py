@@ -59,6 +59,10 @@ class _State(NamedTuple):
     out: jnp.ndarray  # (B, K, max_new) int32
     out_len: jnp.ndarray  # (B, K) int32
     cache: DecoderCache
+    # timestamp-rule carry (unused zeros when with_timestamps=False)
+    prev_ts: jnp.ndarray  # (B, K) bool — last emitted token is a timestamp
+    prevprev_ts: jnp.ndarray  # (B, K) bool
+    max_ts: jnp.ndarray  # (B, K) int32 — highest timestamp token emitted
 
 
 def _suppress_mask(n_vocab: int, suppress: Tuple[int, ...]) -> np.ndarray:
@@ -94,6 +98,7 @@ def build_generate_xa(
     suppress_tokens: Tuple[int, ...],
     begin_suppress_tokens: Tuple[int, ...],
     length_penalty: float = 1.0,
+    with_timestamps: bool = False,
 ):
     """Return a jitted generate(params, xa_kv, prompt, token_cap) program.
 
@@ -104,14 +109,29 @@ def build_generate_xa(
     dynamic batcher coalesce requests with different languages/tasks
     into one padded TPU batch; token_cap: () int32 runtime cap ≤
     max_new_tokens.
+
+    with_timestamps=True applies whisper's timestamp grammar as in-jit
+    masking (a capability the reference never exposes — it always decodes
+    with <|notimestamps|>, main.py:656-663): the first emitted token must
+    be a timestamp, timestamps come in non-decreasing begin/end pairs,
+    and text cannot follow an unpaired timestamp (EOT excepted).
     """
+    from wis_tpu.models.whisper.tokenizer import NO_TIMESTAMPS, TIMESTAMP_BASE
+
     K, B = beam_size, batch
     BK = B * K
     cache_len = prompt_len + max_new_tokens
-    sup = jnp.asarray(_suppress_mask(cfg.n_vocab, suppress_tokens))
-    begin_sup = jnp.asarray(
-        _suppress_mask(cfg.n_vocab, tuple(begin_suppress_tokens) + tuple(suppress_tokens))
-    )
+    base_suppress = tuple(suppress_tokens)
+    if with_timestamps:
+        base_suppress = base_suppress + (NO_TIMESTAMPS,)
+    sup = jnp.asarray(_suppress_mask(cfg.n_vocab, base_suppress))
+    begin_extra = tuple(begin_suppress_tokens) + base_suppress
+    if with_timestamps:
+        # first generated token must be a timestamp
+        begin_extra = begin_extra + tuple(range(0, TIMESTAMP_BASE))
+    begin_sup = jnp.asarray(_suppress_mask(cfg.n_vocab, begin_extra))
+    is_ts_vec = jnp.arange(cfg.n_vocab) >= TIMESTAMP_BASE  # (V,)
+
     @partial(jax.jit, donate_argnums=())
     def generate(params, xa_kv, prompt, token_cap):
         dtype = params["decoder"]["tok_emb"].dtype
@@ -143,6 +163,9 @@ def build_generate_xa(
             out=out,
             out_len=jnp.ones((B, K), jnp.int32),
             cache=cache_bk,
+            prev_ts=(top_tok >= TIMESTAMP_BASE),
+            prevprev_ts=jnp.zeros((B, K), bool),
+            max_ts=jnp.maximum(top_tok, TIMESTAMP_BASE),
         )
 
         def cond(s: _State):
@@ -155,6 +178,25 @@ def build_generate_xa(
                 params, s.tokens.reshape(BK), s.cache, xa_kv, cfg
             )  # (BK, V) f32
             masked = logits + sup
+
+            if with_timestamps:
+                vocab_ids = jnp.arange(cfg.n_vocab)
+                is_eot = vocab_ids == EOT
+                # unpaired timestamp → next must be a timestamp (EOT ok)
+                need_ts = (s.prev_ts & ~s.prevprev_ts).reshape(BK)[:, None]
+                masked = jnp.where(
+                    need_ts & ~(is_ts_vec | is_eot)[None, :], NEG_INF, masked
+                )
+                # closed pair → next must be text (or EOT)
+                need_text = (s.prev_ts & s.prevprev_ts).reshape(BK)[:, None]
+                masked = jnp.where(
+                    need_text & is_ts_vec[None, :], NEG_INF, masked
+                )
+                # monotonic timestamps
+                below_max = vocab_ids[None, :] < s.max_ts.reshape(BK)[:, None]
+                masked = jnp.where(
+                    is_ts_vec[None, :] & below_max, NEG_INF, masked
+                )
 
             # Two-stage candidate selection: the global top-K of
             # sum_lp[k] + lp[k, v] is always contained in the per-beam
@@ -202,6 +244,7 @@ def build_generate_xa(
                 lambda c: c.reorder(global_parent),
                 cache,
             )
+            tok_is_ts = tok >= TIMESTAMP_BASE
             return _State(
                 t=s.t + 1,
                 tokens=tok,
@@ -210,6 +253,15 @@ def build_generate_xa(
                 out=out,
                 out_len=jnp.where(par_finished, par_len, par_len + 1),
                 cache=cache,
+                prev_ts=jnp.where(par_finished, gather(s.prev_ts), tok_is_ts),
+                prevprev_ts=jnp.where(
+                    par_finished, gather(s.prevprev_ts), gather(s.prev_ts)
+                ),
+                max_ts=jnp.where(
+                    tok_is_ts & ~par_finished,
+                    jnp.maximum(gather(s.max_ts), tok),
+                    gather(s.max_ts),
+                ),
             )
 
         s = jax.lax.while_loop(cond, body, state)
@@ -233,6 +285,7 @@ def build_generate(
     suppress_tokens: Tuple[int, ...],
     begin_suppress_tokens: Tuple[int, ...],
     length_penalty: float = 1.0,
+    with_timestamps: bool = False,
 ):
     """End-to-end (params, mel, prompt, token_cap) → GenerateResult,
     composing build_encode + build_generate_xa (two device dispatches;
@@ -247,6 +300,7 @@ def build_generate(
         suppress_tokens=suppress_tokens,
         begin_suppress_tokens=begin_suppress_tokens,
         length_penalty=length_penalty,
+        with_timestamps=with_timestamps,
     )
 
     def generate(params, mel, prompt, token_cap):

@@ -48,6 +48,7 @@ def build_asr_program(
     detect_language: bool = False,
     translate: bool = False,
     length_penalty: float = 1.0,
+    with_timestamps: bool = False,
 ):
     """Return jitted asr(params, audio_i16 (B, n_samples), prompt (B, P),
     token_cap) → packed int32 (B, W) with W = K*max_new + K + 3, doubled
@@ -68,6 +69,7 @@ def build_asr_program(
         suppress_tokens=suppress_tokens,
         begin_suppress_tokens=begin_suppress_tokens,
         length_penalty=length_penalty,
+        with_timestamps=with_timestamps,
     )
 
     @jax.jit

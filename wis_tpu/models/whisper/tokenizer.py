@@ -80,6 +80,42 @@ def _bytes_to_unicode() -> Dict[int, str]:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+def parse_segments(tokenizer: "WhisperTokenizer", ids: Sequence[int]) -> List[dict]:
+    """Split a timestamped token stream into segments:
+    <|t0|> text <|t1|> [<|t2|> text <|t3|> ...] →
+    [{"start": s, "end": e, "text": ...}, ...]."""
+    segments: List[dict] = []
+    start: float = 0.0
+    current: List[int] = []
+    for i in ids:
+        i = int(i)
+        if TIMESTAMP_BASE <= i < N_VOCAB:
+            t = (i - TIMESTAMP_BASE) * 0.02
+            if current:
+                segments.append(
+                    {
+                        "start": round(start, 2),
+                        "end": round(t, 2),
+                        "text": tokenizer.decode(current).strip(),
+                    }
+                )
+                current = []
+            start = t
+        elif i == EOT:
+            break
+        elif i < EOT:
+            current.append(i)
+    if current:
+        segments.append(
+            {
+                "start": round(start, 2),
+                "end": round(start, 2),
+                "text": tokenizer.decode(current).strip(),
+            }
+        )
+    return segments
+
+
 def build_prompt(
     language: str = "en", task: str = "transcribe", notimestamps: bool = True
 ) -> List[int]:

@@ -40,6 +40,7 @@ class ASRRequest:
     force_language: Optional[str] = None
     translate: bool = False
     max_tokens: Optional[int] = None
+    timestamps: bool = False
     future: Future = field(default_factory=Future)
 
     def effective_beam(self, settings: APISettings) -> int:
@@ -52,7 +53,8 @@ class ASRRequest:
         return self.audio.shape[0] > 30 * 16000
 
     def batch_key(self, settings: APISettings):
-        return (self.model, self.effective_beam(settings))
+        # timestamped requests compile a different program variant
+        return (self.model, self.effective_beam(settings), self.timestamps)
 
 
 class InferenceExecutor:
@@ -133,6 +135,7 @@ class InferenceExecutor:
                     force_language=r.force_language,
                     translate=r.translate,
                     max_tokens=r.max_tokens,
+                    timestamps=r.timestamps,
                 )
                 r.future.set_result(result)
                 return
@@ -148,6 +151,7 @@ class InferenceExecutor:
                         force_language=r.force_language,
                         translate=r.translate,
                         max_tokens=r.max_tokens,
+                        timestamps=r.timestamps,
                     )
                 )
                 return

@@ -41,7 +41,7 @@ from wis_tpu.decoding.beam import trim_tokens
 from wis_tpu.decoding.detect import lang_index_to_code
 from wis_tpu.decoding.fused import build_asr_program, packed_width, unpack_asr_result
 from wis_tpu.languages import to_language_code
-from wis_tpu.models.whisper.tokenizer import build_prompt
+from wis_tpu.models.whisper.tokenizer import build_prompt, parse_segments
 from wis_tpu.runtime.residency import LoadedModel, ModelRegistry
 from wis_tpu.settings import APISettings, get_api_settings
 from wis_tpu.utils.timing import StageTimer
@@ -60,6 +60,8 @@ class TranscriptionResult:
     infer_speedup: int
     audio_duration_ms: int
     timings: Dict[str, float] = field(default_factory=dict)
+    #: present when timestamp decoding was requested (single-window only)
+    segments: Optional[list] = None
 
     def as_tuple(self):
         return (
@@ -98,8 +100,9 @@ class WhisperEngine:
     # Program cache
     # ------------------------------------------------------------------ #
     def _program(self, model: LoadedModel, *, beam: int, batch: int,
-                 prompt_len: int, detect: bool, translate: bool):
-        key = (model.name, beam, batch, prompt_len, detect, translate)
+                 prompt_len: int, detect: bool, translate: bool,
+                 timestamps: bool = False):
+        key = (model.name, beam, batch, prompt_len, detect, translate, timestamps)
         prog = self._programs.get(key)
         if prog is not None:
             return prog
@@ -118,6 +121,7 @@ class WhisperEngine:
                 begin_suppress_tokens=tok.begin_suppress_tokens,
                 detect_language=detect,
                 translate=translate,
+                with_timestamps=timestamps,
             )
             self._programs[key] = prog
             return prog
@@ -161,6 +165,7 @@ class WhisperEngine:
         token_cap: int,
         timer: StageTimer,
         per_window_detect: bool = False,
+        timestamps: bool = False,
     ):
         """Returns per-window dicts {tokens, length, lang_idx, lang_prob,
         tr_tokens, tr_length}.
@@ -200,6 +205,7 @@ class WhisperEngine:
                 prompt_len=prompts.shape[1],
                 detect=g_detect,
                 translate=translate,
+                timestamps=timestamps,
             )
             with timer.span("asr_dispatch", trace=True):
                 packed = np.asarray(
@@ -249,9 +255,15 @@ class WhisperEngine:
         force_language: Optional[str] = None,
         translate: bool = False,
         max_tokens: Optional[int] = None,
+        timestamps: bool = False,
     ) -> TranscriptionResult:
         """audio: 1-D float32 PCM at 16 kHz (decode/resample happens in
-        wis_tpu.audio.ingest, off the device path)."""
+        wis_tpu.audio.ingest, off the device path).
+
+        timestamps=True decodes with whisper's timestamp grammar and
+        returns `segments` ({start, end, text}); supported for
+        single-window (≤ 30 s) requests — chunked long-form falls back
+        to text-only decoding."""
         s = self.settings
         timer = StageTimer()
         model_name = model or s.whisper_model_default
@@ -289,7 +301,10 @@ class WhisperEngine:
         detect = bool(detect_language and not force_language)
         if force_language:
             language = to_language_code(force_language)
-        prompt = np.asarray(build_prompt(language, task), np.int32)
+        use_ts = bool(timestamps and not use_chunking)
+        prompt = np.asarray(
+            build_prompt(language, task, notimestamps=not use_ts), np.int32
+        )
         prompts = np.tile(prompt[None], (n, 1))
 
         with self.device_lock:
@@ -302,6 +317,7 @@ class WhisperEngine:
                 translate,
                 max_tokens or s.max_decode_tokens,
                 timer,
+                timestamps=use_ts,
             )
 
         # ---- merge + text decode ---- #
@@ -311,6 +327,11 @@ class WhisperEngine:
             text = self._merge_seqs(
                 [(r["tokens"], r["length"]) for r in results], strides, tok
             )
+            segments = None
+            if use_ts:
+                segments = parse_segments(
+                    tok, trim_tokens(results[0]["tokens"], results[0]["length"])
+                )
             translation = None
             if translate:
                 translation = self._merge_seqs(
@@ -330,6 +351,7 @@ class WhisperEngine:
             infer_speedup=speedup,
             audio_duration_ms=duration_ms,
             timings=timer.as_dict(),
+            segments=segments,
         )
 
     # ------------------------------------------------------------------ #

@@ -93,6 +93,7 @@ async def asr(request: web.Request) -> web.Response:
     beam_size = _qint(request, "beam_size", settings.beam_size)
     force_language = request.query.get("force_language")
     translate = _qbool(request, "translate", False)
+    timestamps = _qbool(request, "timestamps", False)
 
     if force_language and not check_language(force_language):
         return web.json_response({"error": "Invalid force_language"}, status=400)
@@ -122,11 +123,15 @@ async def asr(request: web.Request) -> web.Response:
                 detect_language=detect_language,
                 force_language=force_language,
                 translate=translate,
+                timestamps=timestamps,
             ),
         )
     except KeyError:
         return web.json_response({"error": f"Unknown model {model}"}, status=400)
-    return web.json_response(_asr_response(result))
+    payload = _asr_response(result)
+    if timestamps and result.segments is not None:
+        payload["segments"] = result.segments
+    return web.json_response(payload)
 
 
 async def willow(request: web.Request) -> web.Response:
