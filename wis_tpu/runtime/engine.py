@@ -101,8 +101,10 @@ class WhisperEngine:
     # ------------------------------------------------------------------ #
     def _program(self, model: LoadedModel, *, beam: int, batch: int,
                  prompt_len: int, detect: bool, translate: bool,
-                 timestamps: bool = False):
-        key = (model.name, beam, batch, prompt_len, detect, translate, timestamps)
+                 timestamps: bool = False, max_new: Optional[int] = None):
+        max_new = max_new or self.settings.max_decode_tokens
+        key = (model.name, beam, batch, prompt_len, detect, translate,
+               timestamps, max_new)
         prog = self._programs.get(key)
         if prog is not None:
             return prog
@@ -115,7 +117,7 @@ class WhisperEngine:
                 model.cfg,
                 beam_size=beam,
                 batch=batch,
-                max_new_tokens=self.settings.max_decode_tokens,
+                max_new_tokens=max_new,
                 prompt_len=prompt_len,
                 suppress_tokens=tok.suppress_tokens,
                 begin_suppress_tokens=tok.begin_suppress_tokens,
@@ -131,6 +133,20 @@ class WhisperEngine:
             if n <= b:
                 return b
         return self.settings.batch_bucket_list()[-1]
+
+    def _decode_bucket(self, duration_ms: int, token_cap: int) -> int:
+        """Pick the decode-length compile bucket: short audio uses a
+        short KV cache (beam reorders move the whole cache — length is
+        the dominant per-step reorder cost)."""
+        s = self.settings
+        buckets = sorted(int(b) for b in s.decode_token_buckets)
+        want = min(token_cap, s.max_decode_tokens)
+        if duration_ms > s.short_audio_threshold_ms:
+            want = max(want, buckets[-1])
+        for b in buckets:
+            if want <= b:
+                return b
+        return buckets[-1]
 
     # ------------------------------------------------------------------ #
     # Warmup — replaces warm_models (reference main.py:480-511): compile +
@@ -166,6 +182,7 @@ class WhisperEngine:
         timer: StageTimer,
         per_window_detect: bool = False,
         timestamps: bool = False,
+        max_new: Optional[int] = None,
     ):
         """Returns per-window dicts {tokens, length, lang_idx, lang_prob,
         tr_tokens, tr_length}.
@@ -177,7 +194,7 @@ class WhisperEngine:
         s = self.settings
         n = windows_i16.shape[0]
         bucket = self._bucket(min(n, max(1, s.concurrent_gpu_chunks)))
-        max_new = s.max_decode_tokens
+        max_new = max_new or s.max_decode_tokens
         width = packed_width(beam, max_new)
         out = []
         resolved_lang_tok: Optional[int] = None
@@ -206,6 +223,7 @@ class WhisperEngine:
                 detect=g_detect,
                 translate=translate,
                 timestamps=timestamps,
+                max_new=max_new,
             )
             with timer.span("asr_dispatch", trace=True):
                 packed = np.asarray(
@@ -307,6 +325,9 @@ class WhisperEngine:
         )
         prompts = np.tile(prompt[None], (n, 1))
 
+        decode_bucket = self._decode_bucket(
+            duration_ms, max_tokens or s.max_decode_tokens
+        )
         with self.device_lock:
             results = self._run_windows(
                 loaded,
@@ -315,9 +336,10 @@ class WhisperEngine:
                 beam,
                 detect,
                 translate,
-                max_tokens or s.max_decode_tokens,
+                min(max_tokens or s.max_decode_tokens, decode_bucket),
                 timer,
                 timestamps=use_ts,
+                max_new=decode_bucket,
             )
 
         # ---- merge + text decode ---- #
@@ -388,6 +410,8 @@ class WhisperEngine:
             prompts.append(build_prompt(lang, r.task))
         prompts = np.asarray(prompts, np.int32)
 
+        cap = max((r.max_tokens or s.max_decode_tokens) for r in requests)
+        decode_bucket = self._decode_bucket(max(durations), cap)
         with self.device_lock:
             results = self._run_windows(
                 loaded,
@@ -396,9 +420,10 @@ class WhisperEngine:
                 beam,
                 detect,
                 translate,
-                max((r.max_tokens or s.max_decode_tokens) for r in requests),
+                min(cap, decode_bucket),
                 timer,
                 per_window_detect=True,
+                max_new=decode_bucket,
             )
 
         with timer.span("decode_text"):

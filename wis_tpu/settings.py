@@ -123,6 +123,12 @@ class APISettings(BaseModel):
     batch_buckets: List[str] = ["1", "2", "4", "8"]
     #: hard cap on generated tokens per 30 s window
     max_decode_tokens: int = 224
+    #: decode-length compile buckets: short utterances use a small KV
+    #: cache (every beam reorder moves the whole cache — halving its
+    #: length halves that traffic); audio ≤ short_audio_threshold_ms
+    #: uses the first bucket
+    decode_token_buckets: List[str] = ["96", "224"]
+    short_audio_threshold_ms: int = 12000
     #: directory holding converted model weights (<size>/ with params.npz
     #: or HF safetensors); missing weights fall back to seeded random init
     model_dir: str = "models"
