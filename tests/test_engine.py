@@ -128,3 +128,15 @@ def test_max_tokens_cap(engine):
     res = engine.transcribe(_audio(1.0, seed=10), model="tiny", beam_size=1,
                             max_tokens=2)
     assert isinstance(res.text, str)
+
+
+def test_decode_bucket_selection():
+    # default-settings engine (no model load needed for bucket logic)
+    e = WhisperEngine(settings=APISettings())
+    # short audio defaults to the short bucket; explicit caps steer
+    assert e._decode_bucket(3840, None) == 96
+    assert e._decode_bucket(3840, 32) == 96
+    assert e._decode_bucket(3840, 150) == 224  # explicit big cap escalates
+    # long audio always uses the full bucket
+    assert e._decode_bucket(29000, None) == 224
+    assert e._decode_bucket(29000, 32) == 224

@@ -134,15 +134,24 @@ class WhisperEngine:
                 return b
         return self.settings.batch_bucket_list()[-1]
 
-    def _decode_bucket(self, duration_ms: int, token_cap: int) -> int:
+    def _decode_bucket(
+        self, duration_ms: int, token_cap: Optional[int]
+    ) -> int:
         """Pick the decode-length compile bucket: short audio uses a
         short KV cache (beam reorders move the whole cache — length is
-        the dominant per-step reorder cost)."""
+        the dominant per-step reorder cost). token_cap=None means the
+        caller didn't ask for a specific budget: short audio defaults to
+        the short bucket (96 tokens for ≤12 s ≈ 8 tokens/s — above real
+        speech rates)."""
         s = self.settings
         buckets = sorted(int(b) for b in s.decode_token_buckets)
-        want = min(token_cap, s.max_decode_tokens)
         if duration_ms > s.short_audio_threshold_ms:
-            want = max(want, buckets[-1])
+            return buckets[-1]
+        want = (
+            min(token_cap, s.max_decode_tokens)
+            if token_cap is not None
+            else buckets[0]
+        )
         for b in buckets:
             if want <= b:
                 return b
@@ -325,9 +334,7 @@ class WhisperEngine:
         )
         prompts = np.tile(prompt[None], (n, 1))
 
-        decode_bucket = self._decode_bucket(
-            duration_ms, max_tokens or s.max_decode_tokens
-        )
+        decode_bucket = self._decode_bucket(duration_ms, max_tokens)
         with self.device_lock:
             results = self._run_windows(
                 loaded,
@@ -410,8 +417,10 @@ class WhisperEngine:
             prompts.append(build_prompt(lang, r.task))
         prompts = np.asarray(prompts, np.int32)
 
-        cap = max((r.max_tokens or s.max_decode_tokens) for r in requests)
+        explicit = [r.max_tokens for r in requests if r.max_tokens]
+        cap = max(explicit) if len(explicit) == len(requests) else None
         decode_bucket = self._decode_bucket(max(durations), cap)
+        cap = cap or s.max_decode_tokens
         with self.device_lock:
             results = self._run_windows(
                 loaded,
