@@ -119,3 +119,22 @@ def test_replica_pool_dispatch():
     assert len(results) == 4
     assert all(r.audio_duration_ms == 500 for r in results)
     pool.shutdown()
+
+
+def test_tensor_parallel_with_int8_params():
+    """TP sharding must compose with int8 quantization: the quantized
+    {"q","s"} leaves inherit the weight's column/row sharding."""
+    from wis_tpu.ops.quant import quantize_whisper_params
+
+    params = random_params(CFG, seed=6, dtype=jnp.float32)
+    qparams = quantize_whisper_params(params, subtrees=("encoder", "decoder"))
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 3000)), jnp.float32)
+
+    ref = np.asarray(jax.jit(_forward)(qparams, mel))
+
+    mesh = make_mesh(n_data=1, n_model=4)
+    sharded = shard_params(qparams, mesh, whisper_param_specs(CFG))
+    got = np.asarray(jax.jit(_forward)(sharded, mel))
+
+    np.testing.assert_allclose(ref, got, atol=2e-3, rtol=1e-3)

@@ -130,12 +130,47 @@ def _skeleton(cfg: WhisperConfig) -> dict:
     return random_params(micro, seed=0)
 
 
+def expand_specs_for_quant(specs, params) -> dict:
+    """Adapt a bf16 spec tree to a (possibly) int8-quantized param tree.
+
+    A quantized leaf {"q": (..., K, N), "s": (..., 1, N)} inherits the
+    original weight's spec for "q"; the per-output-channel scale "s"
+    shards along the same output axis (the spec's last entry) and
+    replicates otherwise.
+    """
+    from wis_tpu.ops.quant import is_quantized
+
+    def walk(spec, param):
+        if is_quantized(param):
+            s_spec = P(*((None,) * (len(spec) - 1) + (spec[-1],))) if len(spec) else P()
+            return {"q": spec, "s": s_spec}
+        if isinstance(param, dict):
+            return {k: walk(spec[k] if isinstance(spec, dict) else spec, v)
+                    for k, v in param.items()}
+        return spec
+
+    return {k: walk(specs[k], v) for k, v in params.items()}
+
+
 def shard_params(params, mesh: Mesh, specs) -> dict:
     """Place params on the mesh per the spec tree.
 
     PartitionSpec is a tuple subclass, so the spec tree is mapped as the
     primary tree with an is_leaf guard to stop descent into the specs.
+    Quantized param trees (int8 {"q","s"} leaves) are handled by
+    expanding the spec tree first.
     """
+    from wis_tpu.ops.quant import is_quantized
+
+    has_quant = any(
+        is_quantized(x)
+        for x in jax.tree.leaves(
+            params, is_leaf=lambda x: isinstance(x, dict) and is_quantized(x)
+        )
+        if isinstance(x, dict)
+    )
+    if has_quant:
+        specs = expand_specs_for_quant(specs, params)
     return jax.tree.map(
         lambda s, a: jax.device_put(a, NamedSharding(mesh, s)),
         specs,
