@@ -42,14 +42,14 @@ def test_kernel_matches_reference():
     q, k, v, anc, pos = _setup(2, pos=37)
     ref = np.asarray(ancestry_attention_reference(q, k, v, anc, pos))
     with pltpu.force_tpu_interpret_mode():
-        got = np.asarray(ancestry_attention(q, k, v, anc, pos, head_tile=2))
+        got = np.asarray(ancestry_attention(q, k, v, anc, pos))
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
 
 
 def test_kernel_respects_position_mask():
     q, k, v, anc, _ = _setup(3)
     with pltpu.force_tpu_interpret_mode():
-        a = np.asarray(ancestry_attention(q, k, v, anc, jnp.int32(5), head_tile=2))
-        b = np.asarray(ancestry_attention(q, k, v, anc, jnp.int32(90), head_tile=2))
+        a = np.asarray(ancestry_attention(q, k, v, anc, jnp.int32(5)))
+        b = np.asarray(ancestry_attention(q, k, v, anc, jnp.int32(90)))
     # different valid windows → different outputs
     assert not np.allclose(a, b)

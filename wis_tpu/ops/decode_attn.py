@@ -17,9 +17,14 @@ head), loops beams in-kernel, and resolves ancestry with a one-hot
 mask-sum over the BK rows (BK is tiny; the multiply-mask is VPU work on
 VMEM-resident data).
 
-Status: correctness-tested prototype (tests/test_decode_attn.py,
-interpret mode) — production wiring (replacing DecoderCache.reorder)
-is the round-2 item in docs/NEXT.md.
+Status: correctness-validated on real TPU v5e (max err 2e-4 vs the XLA
+reference; 32 sequential calls = 2.7 ms). Not yet wired into production:
+at one-call-per-layer granularity the ~84 µs Pallas call overhead eats
+the ~1.7 ms/step reorder saving — the production win requires this
+kernel to also absorb the QKV/O projections of its layer (the round-2
+fused-layer plan in docs/NEXT.md), for which this prototype de-risks
+the ancestry math and the Mosaic constraints (2-D dots only, no dynamic
+sublane indexing, head-major blocks).
 """
 
 from __future__ import annotations
@@ -35,38 +40,43 @@ NEG_INF = -1e30
 
 
 def _kernel(pos_ref, anc_ref, q_ref, k_ref, v_ref, o_ref, *, bk, scale):
-    """One head-tile: q (BK, HT, Dh), k/v (BK, HT, Dh, T), anc (BK, T)
-    in SMEM-prefetched form, pos scalar."""
+    """One head per grid step, head-major blocks: q (1, BK, Dh),
+    k/v (1, BK, Dh, T), anc (BK, T) scalar-prefetched, pos scalar.
+
+    Mosaic constraints shape the math: only 2-D dots lower, and dynamic
+    sublane indexing is illegal — so ancestry selection is an all-pairs
+    QK computed with a *static* unrolled loop over physical rows,
+    combined via one-hot masks (BK ≤ 8 keeps the amplification trivial
+    and entirely VMEM-resident).
+    """
     pos = pos_ref[0]
     t_max = k_ref.shape[3]
     valid = (
         jax.lax.broadcasted_iota(jnp.int32, (1, t_max), 1) <= pos
     )  # (1, T)
 
-    def per_beam(b, _):
-        anc_b = anc_ref[b, :]  # (T,) int32 physical row per position
-        # one-hot over physical rows: (BK, T)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bk, t_max), 0)
-        sel = (rows == anc_b[None, :]).astype(k_ref.dtype)  # (BK, T)
-        # gather-by-mask: K_sel (HT, Dh, T) = sum_b' K[b'] * sel[b']
-        k_sel = jnp.einsum(
-            "bhdt,bt->hdt", k_ref[:], sel, preferred_element_type=jnp.float32
-        ).astype(k_ref.dtype)
-        v_sel = jnp.einsum(
-            "bhdt,bt->hdt", v_ref[:], sel, preferred_element_type=jnp.float32
-        ).astype(v_ref.dtype)
-        q_b = q_ref[b]  # (HT, Dh)
-        scores = jnp.einsum(
-            "hd,hdt->ht", q_b, k_sel, preferred_element_type=jnp.float32
-        ) * scale
-        scores = jnp.where(valid, scores, NEG_INF)
-        w = jax.nn.softmax(scores, axis=-1).astype(v_sel.dtype)
-        o_ref[b] = jnp.einsum(
-            "ht,hdt->hd", w, v_sel, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
-        return 0
+    q_all = q_ref[0].astype(jnp.float32)  # (BK, Dh)
+    scores = jnp.zeros((bk, t_max), jnp.float32)
+    anc = anc_ref[...]  # (BK, T) int32
+    for bp in range(bk):  # static unroll over physical rows
+        sel = (anc == bp).astype(jnp.float32)  # (BK, T)
+        qk = jnp.dot(
+            q_all, k_ref[0, bp].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )  # (BK, T)
+        scores = scores + qk * sel
+    scores = scores * scale
+    scores = jnp.where(valid, scores, NEG_INF)
+    w = jax.nn.softmax(scores, axis=-1)  # (BK, T)
 
-    jax.lax.fori_loop(0, bk, per_beam, 0)
+    out = jnp.zeros((bk, q_ref.shape[2]), jnp.float32)
+    for bp in range(bk):
+        sel = (anc == bp).astype(jnp.float32)
+        out = out + jnp.dot(
+            w * sel, v_ref[0, bp].astype(jnp.float32).T,
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("head_tile",))
@@ -76,15 +86,23 @@ def ancestry_attention(
     v_cache: jnp.ndarray,
     anc: jnp.ndarray,  # (BK, T) int32 — physical row per (beam, position)
     pos: jnp.ndarray,  # () int32 — last valid position
-    head_tile: int = 4,
+    head_tile: int = 0,  # 0 → all heads in one block (whisper fits VMEM)
 ) -> jnp.ndarray:
     """Returns (BK, H, Dh) attention output without any cache permutation."""
     bk, h, dh = q.shape
     t = k_cache.shape[3]
     scale = dh ** -0.5
-    grid = (h // head_tile,)
+    # one head per grid step (this Mosaic build only lowers 2-D dots),
+    # head-major layout so every block's trailing dims are tile-legal
+    # (production would store the cache head-major natively)
+    del head_tile
+    ht = 1
+    grid = (h,)
+    q_hm = q.swapaxes(0, 1)  # (H, BK, Dh)
+    k_hm = k_cache.swapaxes(0, 1)  # (H, BK, Dh, T)
+    v_hm = v_cache.swapaxes(0, 1)
 
-    return pl.pallas_call(
+    out_hm = pl.pallas_call(
         functools.partial(_kernel, bk=bk, scale=scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -92,25 +110,26 @@ def ancestry_attention(
             in_specs=[
                 pl.BlockSpec((bk, t), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (bk, head_tile, dh), lambda i, *_: (0, i, 0),
+                    (ht, bk, dh), lambda i, *_: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (bk, head_tile, dh, t), lambda i, *_: (0, i, 0, 0),
+                    (ht, bk, dh, t), lambda i, *_: (i, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (bk, head_tile, dh, t), lambda i, *_: (0, i, 0, 0),
+                    (ht, bk, dh, t), lambda i, *_: (i, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (bk, head_tile, dh), lambda i, *_: (0, i, 0),
+                (ht, bk, dh), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((bk, h, dh), q.dtype),
-    )(jnp.asarray([pos], jnp.int32) if pos.ndim == 0 else pos, anc, q, k_cache, v_cache)
+        out_shape=jax.ShapeDtypeStruct((h, bk, dh), q.dtype),
+    )(jnp.asarray([pos], jnp.int32) if pos.ndim == 0 else pos, anc, q_hm, k_hm, v_hm)
+    return out_hm.swapaxes(0, 1)
 
 
 def ancestry_attention_reference(q, k_cache, v_cache, anc, pos):
