@@ -138,3 +138,53 @@ def test_tensor_parallel_with_int8_params():
     got = np.asarray(jax.jit(_forward)(sharded, mel))
 
     np.testing.assert_allclose(ref, got, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_server_replica_pool_mode():
+    """create_app with replica_pool auto on a multi-device host builds a
+    per-chip pool behind the same endpoint surface."""
+    import asyncio
+    import io
+    import wave
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from wis_tpu.server.app import create_app
+
+    settings = APISettings(
+        max_decode_tokens=4,
+        whisper_model_default="tiny",
+        replica_pool="auto",
+        batch_window_s=0.01,
+    )
+
+    async def go():
+        app = create_app(settings=settings)  # no engine → pool path
+        from wis_tpu.parallel.replicas import ReplicaPool
+
+        assert isinstance(app["executor"], ReplicaPool)
+        assert len(app["executor"].executors) == 8
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            import aiohttp
+            import numpy as np
+
+            pcm = (np.zeros(8000, np.float32) * 32767).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(pcm.tobytes())
+            form = aiohttp.FormData()
+            form.add_field("audio_file", buf.getvalue(), filename="a.wav")
+            resp = await client.post("/api/asr?model=tiny&beam_size=1", data=form)
+            assert resp.status == 200
+            resp = await client.get("/api/status")
+            assert resp.status == 200
+        finally:
+            await client.close()
+
+    asyncio.run(go())

@@ -43,6 +43,14 @@ class ReplicaPool:
         self._rr = itertools.count()
         logger.info("REPLICAS: %d device replicas", len(self.executors))
 
+    def start(self) -> None:
+        for ex in self.executors:
+            ex.start()
+
+    @property
+    def queue_depth(self) -> int:
+        return sum(ex.queue_depth for ex in self.executors)
+
     def _pick(self) -> InferenceExecutor:
         # least-loaded; round-robin tiebreak
         start = next(self._rr) % len(self.executors)

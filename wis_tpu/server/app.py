@@ -337,6 +337,23 @@ async def docs(request: web.Request) -> web.Response:
 
 
 # --------------------------------------------------------------------------- #
+def _build_executor(settings: APISettings, engine: Optional[WhisperEngine]):
+    """Single-engine executor, or a per-chip replica pool (the CT2
+    device_index analog, reference main.py:294-295) when configured and
+    more than one device is visible."""
+    if engine is None and settings.replica_pool in ("auto", "true", "1", "on"):
+        import jax
+
+        devices = jax.devices()
+        if len(devices) > 1:
+            from wis_tpu.parallel.replicas import ReplicaPool
+
+            pool = ReplicaPool(settings, devices=devices)
+            return pool.engines[0], pool
+    engine = engine or WhisperEngine(ModelRegistry(settings), settings)
+    return engine, InferenceExecutor(engine, settings)
+
+
 def create_app(
     settings: Optional[APISettings] = None,
     engine: Optional[WhisperEngine] = None,
@@ -348,9 +365,7 @@ def create_app(
         middlewares=[cors_middleware(settings), basic_auth_middleware(settings)],
         client_max_size=2 * 1024**3,  # 2 GB bodies (reference nginx.conf:57)
     )
-    registry = ModelRegistry(settings)
-    engine = engine or WhisperEngine(registry, settings)
-    executor = InferenceExecutor(engine, settings)
+    engine, executor = _build_executor(settings, engine)
     app["settings"] = settings
     app["engine"] = engine
     app["registry"] = engine.registry
@@ -379,7 +394,8 @@ def create_app(
 
     async def on_startup(app_: web.Application) -> None:
         # load + warm models (reference main.py:1097-1101)
-        executor.start()
+        if hasattr(executor, "start"):
+            executor.start()
         if warmup:
             loop = asyncio.get_running_loop()
 

@@ -143,6 +143,9 @@ class APISettings(BaseModel):
     #: dynamic batcher window (s): how long to hold a request open for
     #: coalescing before dispatch
     batch_window_s: float = 0.004
+    #: serve with one engine replica per chip (the CT2 device_index
+    #: analog); "auto" enables it when >1 device is visible
+    replica_pool: str = "auto"
     #: max concurrent compiled programs kept hot per model
     compile_cache_max: int = 32
 
