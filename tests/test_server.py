@@ -262,3 +262,20 @@ def test_sv_disabled_gives_501(engine):
         assert resp.status == 501
 
     _run(engine, go)
+
+
+def test_status_endpoint(engine):
+    async def go(client):
+        resp = await client.get("/api/status")
+        assert resp.status == 200
+        data = await resp.json()
+        assert set(data) >= {
+            "devices",
+            "models_loaded",
+            "hbm_resident_bytes",
+            "hbm_budget_bytes",
+            "queue_depth",
+            "compiled_programs",
+        }
+
+    _run(engine, go)
