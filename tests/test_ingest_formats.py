@@ -69,3 +69,26 @@ def test_wav_stereo_24bit_framecount():
     raw = bytes(6 * 10)  # 10 stereo frames of 24-bit zeros
     pcm, ch, sr = codecs.decode_wav(_wav(1, 24, raw, channels=2))
     assert ch == 2 and pcm.shape == (10, 2)
+
+
+def test_sniff_mp3_ogg_rejected():
+    from wis_tpu.audio.ingest import IngestError, load_audio, sniff_format
+
+    assert sniff_format(b"ID3\x04...") == "mp3"
+    assert sniff_format(b"OggS....") == "ogg"
+    with pytest.raises(IngestError):
+        load_audio(b"OggS" + b"\x00" * 64)
+
+
+def test_duration_ms():
+    from wis_tpu.audio.ingest import duration_ms
+
+    assert duration_ms(np.zeros(16000, np.float32)) == 1000
+    assert duration_ms(np.zeros(61440, np.float32)) == 3840
+
+
+def test_pcm_requires_stream_params():
+    from wis_tpu.audio.ingest import IngestError, load_audio
+
+    with pytest.raises(IngestError):
+        load_audio(b"\x00\x00" * 100, codec="pcm")
