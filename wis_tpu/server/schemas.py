@@ -91,6 +91,12 @@ def openapi_document(settings) -> dict:
                     "responses": {"200": {"description": "speaker scores"}},
                 }
             },
+            "/api/status": {
+                "get": {
+                    "summary": "Model residency / queue snapshot",
+                    "responses": {"200": {"description": "status"}},
+                }
+            },
         },
         "components": {
             "schemas": {"ASR": schema(ASR), "Ping": schema(Ping)}
