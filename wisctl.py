@@ -28,12 +28,27 @@ HF_REPOS = {s: f"openai/whisper-{'large-v2' if s == 'large' else s}" for s in SI
 
 
 def cmd_run(args) -> int:
-    from wis_tpu.server.app import create_app
-    from wis_tpu.utils.logging import configure_logging
+    """Serve ASR. TLS-direct when --tls-cert/--tls-key are given (the
+    reference's gunicorn TLS variant, utils.sh:147-157); long keep-alive
+    matches entrypoint.sh:19-21."""
+    import ssl
+
     from aiohttp import web
 
+    from wis_tpu.server.app import create_app
+    from wis_tpu.utils.logging import configure_logging
+
     configure_logging()
-    web.run_app(create_app(warmup=not args.no_warmup), port=args.port)
+    ssl_ctx = None
+    if args.tls_cert and args.tls_key:
+        ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ssl_ctx.load_cert_chain(args.tls_cert, args.tls_key)
+    web.run_app(
+        create_app(warmup=not args.no_warmup),
+        port=args.port,
+        ssl_context=ssl_ctx,
+        keepalive_timeout=3600,
+    )
     return 0
 
 
@@ -166,6 +181,8 @@ def main(argv=None) -> int:
     r = sub.add_parser("run", help="start the ASR server")
     r.add_argument("--port", type=int, default=19000)
     r.add_argument("--no-warmup", action="store_true")
+    r.add_argument("--tls-cert", help="serve TLS directly (cert path)")
+    r.add_argument("--tls-key", help="serve TLS directly (key path)")
     r.set_defaults(fn=cmd_run)
 
     rt = sub.add_parser("run-tts", help="start the TTS server")
