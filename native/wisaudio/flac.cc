@@ -137,9 +137,14 @@ bool ReadResidual(BitReader *br, uint32_t block_size, uint32_t order,
   uint32_t partitions = 1u << porder;
   if (block_size % partitions != 0) return false;
   uint32_t part_len = block_size >> porder;
+  /* The first partition holds part_len - order samples; a predictor
+   * order exceeding the partition length would underflow the count
+   * (crafted-stream heap overflow — reject, the format forbids it). */
+  if (order > part_len) return false;
   uint32_t idx = order;
   for (uint32_t p = 0; p < partitions; ++p) {
     uint32_t count = part_len - (p == 0 ? order : 0);
+    if (idx + uint64_t{count} > block_size) return false;
     uint64_t param;
     if (!br->ReadBits(param_bits, &param)) return false;
     if (param == escape) {
@@ -281,8 +286,15 @@ extern "C" int wisaudio_decode_flac(const uint8_t *data, size_t len,
   if (info.bps > 32) return WISAUDIO_EUNSUPPORTED;
 
   std::vector<float> pcm;
+  /* total_samples is attacker-controlled (up to 2^36): cap the eager
+   * reservation — it is only an optimization — and bound total decoded
+   * output so a tiny crafted stream cannot balloon memory (escape
+   * partitions emit 65536 samples for ~20 input bytes). */
+  const uint64_t kMaxTotalValues = uint64_t{1} << 28; /* 1 GiB of f32 */
+  uint64_t expect = info.total_samples * info.channels;
   if (info.total_samples)
-    pcm.reserve(info.total_samples * info.channels);
+    pcm.reserve(static_cast<size_t>(
+        expect < kMaxTotalValues ? expect : kMaxTotalValues));
 
   BitReader br(data + pos, len - pos);
   std::vector<std::vector<int64_t>> chan(info.channels);
@@ -354,6 +366,10 @@ extern "C" int wisaudio_decode_flac(const uint8_t *data, size_t len,
     } else {
       return WISAUDIO_ECORRUPT;
     }
+    /* side-stereo frames require a 2-channel stream: `chan` is sized
+     * info.channels, so a mono STREAMINFO + side frame would write
+     * chan[1] out of bounds. */
+    if (nch != info.channels) return WISAUDIO_ECORRUPT;
 
     for (uint32_t c = 0; c < nch; ++c) {
       uint32_t sub_bps = bps;
@@ -384,6 +400,8 @@ extern "C" int wisaudio_decode_flac(const uint8_t *data, size_t len,
       }
     }
 
+    if (pcm.size() + uint64_t{block_size} * info.channels > kMaxTotalValues)
+      return WISAUDIO_EUNSUPPORTED; /* decompression-bomb guard */
     for (uint32_t i = 0; i < block_size; ++i)
       for (uint32_t c = 0; c < info.channels; ++c)
         pcm.push_back(static_cast<float>(chan[c][i] * scale));
