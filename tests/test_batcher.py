@@ -84,3 +84,44 @@ def test_executor_error_propagates(engine):
     with pytest.raises(KeyError):
         execr.submit_sync(bad)
     execr.shutdown()
+
+
+def test_coalesced_timestamps_kept(engine):
+    """Two concurrent ?timestamps=true requests coalesce (same batch_key)
+    and must still return segments — the round-1 coalesced path silently
+    dropped them (ADVICE: engine.py transcribe_coalesced never forwarded
+    timestamps)."""
+    reqs = [
+        ASRRequest(audio=_audio(1.0, 20 + i), model="tiny", beam_size=1,
+                   timestamps=True)
+        for i in range(2)
+    ]
+    results = engine.transcribe_coalesced(reqs)
+    for res in results:
+        assert res.segments is not None
+
+
+def test_coalesced_per_row_max_tokens(engine):
+    """A request's explicit token budget is honored per-row even when the
+    batch decodes to the largest cap in it: identical audio rows decode
+    identical tokens, so the capped row's text must be a decode-prefix of
+    the uncapped row's."""
+    audio = _audio(1.0, 30)
+    capped, uncapped = engine.transcribe_coalesced([
+        ASRRequest(audio=audio, model="tiny", beam_size=1, max_tokens=2),
+        ASRRequest(audio=audio, model="tiny", beam_size=1, max_tokens=6),
+    ])
+    assert len(capped.text) <= len(uncapped.text)
+
+
+def test_coalesced_detect_does_not_clobber_forced_language(engine):
+    """Detect and forced-language requests coalesce; the per-row detect
+    mask keeps the forced row's language (reported and decoded)."""
+    results = engine.transcribe_coalesced([
+        ASRRequest(audio=_audio(1.0, 40), model="tiny", beam_size=1,
+                   detect_language=True),
+        ASRRequest(audio=_audio(1.0, 41), model="tiny", beam_size=1,
+                   force_language="fr"),
+    ])
+    assert results[1].language == "fr"
+    assert len(results[0].language) in (2, 3)

@@ -43,13 +43,17 @@ def _prompts(batch=1):
     )
 
 
+def _mask(batch=1, value=1):
+    return jnp.asarray(np.full(batch, value, np.int32))
+
+
 def test_plain_program_packs_correctly(params):
     prog = build_asr_program(
         CFG, beam_size=BEAM, batch=1, max_new_tokens=MAX_NEW, prompt_len=4,
         suppress_tokens=(), begin_suppress_tokens=(),
     )
     packed = np.asarray(
-        prog(params, jnp.asarray(_audio_i16()), jnp.asarray(_prompts()), jnp.int32(MAX_NEW))
+        prog(params, jnp.asarray(_audio_i16()), jnp.asarray(_prompts()), jnp.int32(MAX_NEW), _mask(1))
     )
     assert packed.shape == (1, packed_width(BEAM, MAX_NEW))
     tokens, lengths, best, lang_idx, lang_prob = unpack_asr_result(
@@ -67,7 +71,7 @@ def test_detect_variant_sets_language(params):
         suppress_tokens=(), begin_suppress_tokens=(), detect_language=True,
     )
     packed = np.asarray(
-        prog(params, jnp.asarray(_audio_i16(seed=1)), jnp.asarray(_prompts()), jnp.int32(MAX_NEW))
+        prog(params, jnp.asarray(_audio_i16(seed=1)), jnp.asarray(_prompts()), jnp.int32(MAX_NEW), _mask(1))
     )
     _, _, _, lang_idx, lang_prob = unpack_asr_result(packed, BEAM, MAX_NEW)
     assert 0 <= lang_idx[0] < 99
@@ -80,7 +84,7 @@ def test_translate_variant_packs_both_passes(params):
         suppress_tokens=(), begin_suppress_tokens=(), translate=True,
     )
     packed = np.asarray(
-        prog(params, jnp.asarray(_audio_i16(seed=2)), jnp.asarray(_prompts()), jnp.int32(MAX_NEW))
+        prog(params, jnp.asarray(_audio_i16(seed=2)), jnp.asarray(_prompts()), jnp.int32(MAX_NEW), _mask(1))
     )
     w = packed_width(BEAM, MAX_NEW)
     assert packed.shape == (1, 2 * w)
@@ -107,7 +111,7 @@ def test_detect_matches_split_pipeline(params):
         suppress_tokens=(), begin_suppress_tokens=(), detect_language=True,
     )
     packed = np.asarray(
-        prog(params, jnp.asarray(audio), jnp.asarray(_prompts()), jnp.int32(2))
+        prog(params, jnp.asarray(audio), jnp.asarray(_prompts()), jnp.int32(2), _mask(1))
     )
     _, _, _, lang_idx, _ = unpack_asr_result(packed, 1, 2)
     assert int(lang_idx[0]) == int(idx_ref[0])
@@ -119,6 +123,39 @@ def test_batched_fused(params):
         suppress_tokens=(), begin_suppress_tokens=(),
     )
     packed = np.asarray(
-        prog(params, jnp.asarray(_audio_i16(2, seed=4)), jnp.asarray(_prompts(2)), jnp.int32(MAX_NEW))
+        prog(params, jnp.asarray(_audio_i16(2, seed=4)), jnp.asarray(_prompts(2)), jnp.int32(MAX_NEW), _mask(2))
     )
     assert packed.shape == (2, packed_width(BEAM, MAX_NEW))
+
+def test_detect_mask_protects_forced_rows(params):
+    """A detect batch with a masked-off row must leave that row's prompt
+    language untouched (ADVICE round 1: the detect program used to
+    overwrite prompt[:,1] for EVERY coalesced row) and report its
+    lang_idx as -1."""
+    audio = _audio_i16(2, seed=5)
+    prompts = _prompts(2)
+    prompts[1, 1] = LANG_BASE + 3  # forced non-detected language, row 1
+    prog = build_asr_program(
+        CFG, beam_size=BEAM, batch=2, max_new_tokens=MAX_NEW, prompt_len=4,
+        suppress_tokens=(), begin_suppress_tokens=(), detect_language=True,
+    )
+    packed = np.asarray(
+        prog(params, jnp.asarray(audio), jnp.asarray(prompts),
+             jnp.int32(MAX_NEW), jnp.asarray(np.asarray([1, 0], np.int32)))
+    )
+    tokens, _, _, lang_idx, lang_prob = unpack_asr_result(packed, BEAM, MAX_NEW)
+    assert lang_idx[0] >= 0  # detect applied to row 0
+    assert lang_idx[1] == -1  # masked row reports no detection
+    assert lang_prob[1] == 0.0
+
+    # the masked row must decode exactly as the non-detect program would
+    plain = build_asr_program(
+        CFG, beam_size=BEAM, batch=2, max_new_tokens=MAX_NEW, prompt_len=4,
+        suppress_tokens=(), begin_suppress_tokens=(),
+    )
+    packed_ref = np.asarray(
+        plain(params, jnp.asarray(audio), jnp.asarray(prompts),
+              jnp.int32(MAX_NEW), _mask(2))
+    )
+    tokens_ref, *_ = unpack_asr_result(packed_ref, BEAM, MAX_NEW)
+    np.testing.assert_array_equal(tokens[1], tokens_ref[1])

@@ -73,7 +73,12 @@ def build_asr_program(
     )
 
     @jax.jit
-    def asr(params, audio_i16, prompt, token_cap):
+    def asr(params, audio_i16, prompt, token_cap, detect_mask):
+        """detect_mask (B,) int32: rows where the detected language
+        replaces the prompt's language token. Rows with a forced or
+        default language keep theirs even when coalesced into a detect
+        batch (their lang_idx reports -1). Ignored by the non-detect
+        variant."""
         audio = audio_i16.astype(jnp.float32) / 32768.0
         mel = _log_mel_jax(audio, n_mels=cfg.n_mels)  # (B, 80, 3000)
         xa = encode(params, mel, cfg)
@@ -81,7 +86,12 @@ def build_asr_program(
 
         if detect_language:
             lang_idx, lang_prob = _detect_from_kv(params, xa_kv, cfg)
-            prompt = prompt.at[:, 1].set(LANG_BASE + lang_idx)
+            row_detects = detect_mask.astype(bool)
+            prompt = prompt.at[:, 1].set(
+                jnp.where(row_detects, LANG_BASE + lang_idx, prompt[:, 1])
+            )
+            lang_idx = jnp.where(row_detects, lang_idx, -1)
+            lang_prob = jnp.where(row_detects, lang_prob, 0.0)
         else:
             lang_idx = jnp.full((batch,), -1, jnp.int32)
             lang_prob = jnp.zeros((batch,), jnp.float32)

@@ -53,7 +53,10 @@ class ASRRequest:
         return self.audio.shape[0] > 30 * 16000
 
     def batch_key(self, settings: APISettings):
-        # timestamped requests compile a different program variant
+        # timestamped requests compile a different program variant.
+        # detect/force/default-language requests DO coalesce: the fused
+        # program takes a per-row detect mask, so a detect row never
+        # overwrites a neighbor's forced or default language.
         return (self.model, self.effective_beam(settings), self.timestamps)
 
 

@@ -192,6 +192,7 @@ class WhisperEngine:
         per_window_detect: bool = False,
         timestamps: bool = False,
         max_new: Optional[int] = None,
+        detect_mask: Optional[np.ndarray] = None,
     ):
         """Returns per-window dicts {tokens, length, lang_idx, lang_prob,
         tr_tokens, tr_length}.
@@ -205,12 +206,15 @@ class WhisperEngine:
         bucket = self._bucket(min(n, max(1, s.concurrent_gpu_chunks)))
         max_new = max_new or s.max_decode_tokens
         width = packed_width(beam, max_new)
+        if detect_mask is None:
+            detect_mask = np.ones(n, np.int32)
         out = []
         resolved_lang_tok: Optional[int] = None
 
         for start in range(0, n, bucket):
             g_audio = windows_i16[start : start + bucket]
             g_prompts = prompts[start : start + bucket].copy()
+            g_mask = detect_mask[start : start + bucket].astype(np.int32)
             pad = bucket - g_audio.shape[0]
             if pad:
                 g_audio = np.concatenate(
@@ -219,6 +223,7 @@ class WhisperEngine:
                 g_prompts = np.concatenate(
                     [g_prompts, np.tile(g_prompts[-1:], (pad, 1))]
                 )
+                g_mask = np.concatenate([g_mask, np.zeros(pad, np.int32)])
             # only the first group of a chunked request detects; later
             # groups reuse the resolved language (reference main.py:633-644)
             g_detect = detect and (per_window_detect or start == 0)
@@ -241,6 +246,7 @@ class WhisperEngine:
                         jnp.asarray(g_audio),
                         jnp.asarray(g_prompts),
                         jnp.int32(token_cap),
+                        jnp.asarray(g_mask),
                     )
                 )
             main = unpack_asr_result(packed[:, :width], beam, max_new)
@@ -403,9 +409,16 @@ class WhisperEngine:
             windows = _to_i16(np.stack([pad_or_trim(r.audio) for r in requests]))
         n = windows.shape[0]
 
-        # any request needing detection compiles the detect variant; the
-        # fused program resolves every row's language on device
-        detect = any(r.detect_language and not r.force_language for r in requests)
+        # any request needing detection compiles the detect variant; a
+        # per-row mask keeps forced/default-language rows untouched so
+        # mixed batches stay correct (batch_key guarantees timestamps
+        # homogeneity only).
+        row_detects = np.asarray(
+            [bool(r.detect_language and not r.force_language) for r in requests],
+            np.int32,
+        )
+        detect = bool(row_detects.any())
+        use_ts = bool(requests[0].timestamps)
         translate = any(r.translate for r in requests)
         languages = []
         prompts = []
@@ -414,9 +427,12 @@ class WhisperEngine:
             if r.force_language:
                 lang = to_language_code(r.force_language)
             languages.append(lang)
-            prompts.append(build_prompt(lang, r.task))
+            prompts.append(build_prompt(lang, r.task, notimestamps=not use_ts))
         prompts = np.asarray(prompts, np.int32)
 
+        # batch-wide decode budget covers the largest explicit cap (so no
+        # request's output is cut short by a neighbor); rows that asked
+        # for fewer tokens are trimmed to their own cap after unpack.
         explicit = [r.max_tokens for r in requests if r.max_tokens]
         cap = max(explicit) if len(explicit) == len(requests) else None
         decode_bucket = self._decode_bucket(max(durations), cap)
@@ -432,7 +448,9 @@ class WhisperEngine:
                 min(cap, decode_bucket),
                 timer,
                 per_window_detect=True,
+                timestamps=use_ts,
                 max_new=decode_bucket,
+                detect_mask=row_detects,
             )
 
         with timer.span("decode_text"):
@@ -443,14 +461,19 @@ class WhisperEngine:
                 lang = languages[i]
                 if detect and not r.force_language and entry["lang_idx"] >= 0:
                     lang = lang_index_to_code(entry["lang_idx"])
-                text = tok.decode(
-                    trim_tokens(entry["tokens"], entry["length"])
-                ).strip()
+                toks = trim_tokens(entry["tokens"], entry["length"])
+                # honor each request's own token budget even though the
+                # batch decoded to the largest cap in it
+                if r.max_tokens:
+                    toks = toks[: r.max_tokens]
+                text = tok.decode(toks).strip()
+                segments = parse_segments(tok, toks) if use_ts else None
                 translation = None
                 if r.translate and "tr_tokens" in entry:
-                    translation = tok.decode(
-                        trim_tokens(entry["tr_tokens"], entry["tr_length"])
-                    ).strip()
+                    tr_toks = trim_tokens(entry["tr_tokens"], entry["tr_length"])
+                    if r.max_tokens:
+                        tr_toks = tr_toks[: r.max_tokens]
+                    translation = tok.decode(tr_toks).strip()
                 speedup = (
                     math.floor(durations[i] / infer_ms) if infer_ms > 0 else 0
                 )
@@ -463,6 +486,7 @@ class WhisperEngine:
                         infer_speedup=speedup,
                         audio_duration_ms=durations[i],
                         timings=timer.as_dict(),
+                        segments=segments,
                     )
                 )
         return out

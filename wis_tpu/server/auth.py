@@ -1,8 +1,14 @@
 """HTTP Basic auth middleware (reference main.py:1053-1094).
 
 Active when ``basic_auth_user`` / ``basic_auth_pass`` is configured; a
-falsy user or pass skips that half of the check, matching the reference's
-semantics. Constant-time comparison via ``secrets.compare_digest``.
+falsy user or pass skips that half of the check. **Intentional deviation
+from the reference**: when BOTH are unconfigured, auth is disabled and
+requests pass through — the reference still returns 401 for any request
+lacking an Authorization header once its middleware is installed (it
+installs the middleware only when credentials are set, main.py:1087-1094,
+but would lock everyone out if installed unconfigured). Here the
+middleware is always installed and gates itself on configuration instead.
+Constant-time comparison via ``secrets.compare_digest``.
 """
 
 from __future__ import annotations
