@@ -210,3 +210,76 @@ def test_trim_tokens():
     row = np.asarray([5, 6, EOT, EOT])
     np.testing.assert_array_equal(trim_tokens(row, 3), [5, 6])
     np.testing.assert_array_equal(trim_tokens(row, 2), [5, 6])
+
+
+def test_ancestry_decode_matches_physical_reorder():
+    """The ancestry-indirect beam decode (no cache permutation) must
+    produce exactly the tokens/lengths/best of the physical-reorder
+    path — the permutation is absorbed by the selection mask, not the
+    math."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wis_tpu.decoding.beam import build_generate
+    from wis_tpu.models.whisper.config import WhisperConfig
+    from wis_tpu.models.whisper.tokenizer import build_prompt
+    from wis_tpu.models.whisper.weights import random_params
+
+    cfg = WhisperConfig(
+        name="micro-anc",
+        n_audio_state=64,
+        n_audio_head=2,
+        n_audio_layer=2,
+        n_text_state=64,
+        n_text_head=2,
+        n_text_layer=2,
+    )
+    params = random_params(cfg, seed=3, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(rng.standard_normal((2, cfg.n_mels, 3000)) * 0.1, jnp.float32)
+    prompt = jnp.asarray(build_prompt("en", "transcribe"), jnp.int32)
+
+    kw = dict(
+        beam_size=3, batch=2, max_new_tokens=8, prompt_len=prompt.shape[0],
+        suppress_tokens=(), begin_suppress_tokens=(),
+    )
+    r_anc = build_generate(cfg, **kw, ancestry=True)(params, mel, prompt, jnp.int32(8))
+    r_phys = build_generate(cfg, **kw, ancestry=False)(params, mel, prompt, jnp.int32(8))
+    np.testing.assert_array_equal(np.asarray(r_anc.tokens), np.asarray(r_phys.tokens))
+    np.testing.assert_array_equal(np.asarray(r_anc.lengths), np.asarray(r_phys.lengths))
+    np.testing.assert_array_equal(np.asarray(r_anc.best), np.asarray(r_phys.best))
+    np.testing.assert_allclose(
+        np.asarray(r_anc.scores), np.asarray(r_phys.scores), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_ancestry_greedy_matches():
+    """K=1 greedy is the degenerate ancestry case (identity map)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wis_tpu.decoding.beam import build_generate
+    from wis_tpu.models.whisper.config import WhisperConfig
+    from wis_tpu.models.whisper.tokenizer import build_prompt
+    from wis_tpu.models.whisper.weights import random_params
+
+    cfg = WhisperConfig(
+        name="micro-anc-g",
+        n_audio_state=64,
+        n_audio_head=2,
+        n_audio_layer=2,
+        n_text_state=64,
+        n_text_head=2,
+        n_text_layer=2,
+    )
+    params = random_params(cfg, seed=5, dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    mel = jnp.asarray(rng.standard_normal((1, cfg.n_mels, 3000)) * 0.1, jnp.float32)
+    prompt = jnp.asarray(build_prompt("en", "transcribe"), jnp.int32)
+    kw = dict(
+        beam_size=1, batch=1, max_new_tokens=6, prompt_len=prompt.shape[0],
+        suppress_tokens=(), begin_suppress_tokens=(),
+    )
+    r_anc = build_generate(cfg, **kw, ancestry=True)(params, mel, prompt, jnp.int32(6))
+    r_phys = build_generate(cfg, **kw, ancestry=False)(params, mel, prompt, jnp.int32(6))
+    np.testing.assert_array_equal(np.asarray(r_anc.tokens), np.asarray(r_phys.tokens))

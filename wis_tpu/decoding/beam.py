@@ -59,6 +59,7 @@ class _State(NamedTuple):
     out: jnp.ndarray  # (B, K, max_new) int32
     out_len: jnp.ndarray  # (B, K) int32
     cache: DecoderCache
+    anc: jnp.ndarray  # (B, K, cache_len) int32 ancestry map (-1 unwritten)
     # timestamp-rule carry (unused zeros when with_timestamps=False)
     prev_ts: jnp.ndarray  # (B, K) bool — last emitted token is a timestamp
     prevprev_ts: jnp.ndarray  # (B, K) bool
@@ -99,6 +100,7 @@ def build_generate_xa(
     begin_suppress_tokens: Tuple[int, ...],
     length_penalty: float = 1.0,
     with_timestamps: bool = False,
+    ancestry: bool = True,
 ):
     """Return a jitted generate(params, xa_kv, prompt, token_cap) program.
 
@@ -115,6 +117,14 @@ def build_generate_xa(
     with <|notimestamps|>, main.py:656-663): the first emitted token must
     be a timestamp, timestamps come in non-decreasing begin/end pairs,
     and text cannot follow an unpaired timestamp (EOT excepted).
+
+    ancestry=True (default): beam reorders never touch the KV cache —
+    each beam always writes its own physical row, the (B, K, cache_len)
+    ancestry map records which row holds each logical beam's history,
+    and self-attention resolves it at read time (model._self_attn_anc).
+    Removes the ~1.7 ms/step full-cache permutation measured on
+    large-v2 (BENCH.md). False keeps the physical-reorder path (used by
+    equivalence tests).
     """
     from wis_tpu.models.whisper.tokenizer import NO_TIMESTAMPS, TIMESTAMP_BASE
 
@@ -155,6 +165,14 @@ def build_generate_xa(
             jnp.repeat(cache0.v, K, axis=1),
             cache0.pos,
         )
+        # ancestry: prompt positions live in each beam's own (replicated)
+        # row; unwritten positions are -1 (masked)
+        own_row = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, cache_len)
+        )
+        anc0 = jnp.where(
+            jnp.arange(cache_len)[None, None, :] < prompt_len, own_row, -1
+        )
         state = _State(
             t=jnp.int32(1),
             tokens=top_tok,
@@ -163,6 +181,7 @@ def build_generate_xa(
             out=out,
             out_len=jnp.ones((B, K), jnp.int32),
             cache=cache_bk,
+            anc=anc0,
             prev_ts=(top_tok >= TIMESTAMP_BASE),
             prevprev_ts=jnp.zeros((B, K), bool),
             max_ts=jnp.maximum(top_tok, TIMESTAMP_BASE),
@@ -174,9 +193,25 @@ def build_generate_xa(
             )
 
         def body(s: _State) -> _State:
-            logits, cache = decode_step(
-                params, s.tokens.reshape(BK), s.cache, xa_kv, cfg
-            )  # (BK, V) f32
+            if ancestry:
+                # this step writes position cache.pos in each beam's own
+                # physical row — record it before attention reads it
+                anc = jax.lax.dynamic_update_index_in_dim(
+                    s.anc,
+                    jnp.broadcast_to(
+                        jnp.arange(K, dtype=jnp.int32)[None, :], (B, K)
+                    ),
+                    s.cache.pos,
+                    axis=2,
+                )
+                logits, cache = decode_step(
+                    params, s.tokens.reshape(BK), s.cache, xa_kv, cfg, anc=anc
+                )  # (BK, V) f32
+            else:
+                anc = s.anc
+                logits, cache = decode_step(
+                    params, s.tokens.reshape(BK), s.cache, xa_kv, cfg
+                )  # (BK, V) f32
             masked = logits + sup
 
             if with_timestamps:
@@ -230,20 +265,26 @@ def build_generate_xa(
             out = jax.lax.dynamic_update_index_in_dim(
                 out, jnp.where(par_finished, EOT, tok), s.t, axis=2
             )
-            global_parent = (
-                jnp.arange(B, dtype=jnp.int32)[:, None] * K + parent
-            ).reshape(BK)
-            # beam parents are frequently the identity — skip the
-            # full-cache gather (two ~200 MB copies on large-v2) then
-            identity = jnp.array_equal(
-                global_parent, jnp.arange(BK, dtype=jnp.int32)
-            )
-            cache = jax.lax.cond(
-                identity,
-                lambda c: c,
-                lambda c: c.reorder(global_parent),
-                cache,
-            )
+            if ancestry:
+                # logical beams re-parent; physical rows never move —
+                # the ancestry map absorbs the permutation instead of
+                # two full-cache copies
+                anc = jnp.take_along_axis(anc, parent[..., None], axis=1)
+            else:
+                global_parent = (
+                    jnp.arange(B, dtype=jnp.int32)[:, None] * K + parent
+                ).reshape(BK)
+                # beam parents are frequently the identity — skip the
+                # full-cache gather (two ~200 MB copies on large-v2) then
+                identity = jnp.array_equal(
+                    global_parent, jnp.arange(BK, dtype=jnp.int32)
+                )
+                cache = jax.lax.cond(
+                    identity,
+                    lambda c: c,
+                    lambda c: c.reorder(global_parent),
+                    cache,
+                )
             tok_is_ts = tok >= TIMESTAMP_BASE
             return _State(
                 t=s.t + 1,
@@ -253,6 +294,7 @@ def build_generate_xa(
                 out=out,
                 out_len=jnp.where(par_finished, par_len, par_len + 1),
                 cache=cache,
+                anc=anc,
                 prev_ts=jnp.where(par_finished, gather(s.prev_ts), tok_is_ts),
                 prevprev_ts=jnp.where(
                     par_finished, gather(s.prevprev_ts), gather(s.prev_ts)
@@ -286,6 +328,7 @@ def build_generate(
     begin_suppress_tokens: Tuple[int, ...],
     length_penalty: float = 1.0,
     with_timestamps: bool = False,
+    ancestry: bool = True,
 ):
     """End-to-end (params, mel, prompt, token_cap) → GenerateResult,
     composing build_encode + build_generate_xa (two device dispatches;
@@ -301,6 +344,7 @@ def build_generate(
         begin_suppress_tokens=begin_suppress_tokens,
         length_penalty=length_penalty,
         with_timestamps=with_timestamps,
+        ancestry=ancestry,
     )
 
     def generate(params, mel, prompt, token_cap):

@@ -211,6 +211,7 @@ def _decoder_pass(
     cache: DecoderCache,
     xa_kv: Tuple[jnp.ndarray, jnp.ndarray],
     cfg: WhisperConfig,
+    anc: jnp.ndarray = None,  # (Bq, K, T_max) int32 ancestry, or None
 ) -> Tuple[jnp.ndarray, DecoderCache]:
     """Shared prefill/step body: run T tokens through the decoder, writing
     self-attn K/V into the cache at [pos_offset, pos_offset+T).
@@ -261,6 +262,36 @@ def _decoder_pass(
         w = jax.nn.softmax(scores, axis=-1).astype(cv.dtype)
         return jnp.einsum("bhts,bhds->bhtd", w, cv)
 
+    # Ancestry-indirect beam attention (single-token decode only): the
+    # beam-search caller never physically permutes the cache on beam
+    # reorders (a full out-of-place copy, ~1.7 ms/step on large-v2 —
+    # BENCH.md); instead each beam always writes its own physical row
+    # and `anc[b, k, s]` names the physical row holding logical beam k's
+    # history at position s (-1 = unwritten). Attention scores are
+    # computed against ALL K physical rows (K× more MACs on tiny
+    # matmuls — still HBM-bound on the same cache bytes) and the
+    # selection mask picks each position's true row.
+    if anc is not None:
+        k_beams = anc.shape[1]
+        bq = anc.shape[0]
+        # sel[b, k, p, s] = 1 where physical row p holds (b, k)'s history
+        # at position s; anc == -1 rows select nothing (masked position).
+        sel = jax.nn.one_hot(anc, k_beams, dtype=jnp.bool_)  # (Bq,K,T,K)
+        sel = sel.swapaxes(-1, -2)  # (Bq, K, K, T)
+
+    def _self_attn_anc(q, ck, cv):
+        # q (BK,H,1,Dh); ck/cv (BK,H,Dh,T_max) — rows grouped (Bq, K)
+        qk = q.reshape(bq, k_beams, n_head, dh)
+        ckk = ck.reshape(bq, k_beams, *ck.shape[1:])
+        cvv = cv.reshape(bq, k_beams, *cv.shape[1:])
+        scores = _score_dot("bkhd,bphds->bkhps", qk, ckk) * scale
+        scores = jnp.where(sel[:, :, None, :, :], scores, -1e30)
+        w = jax.nn.softmax(
+            scores.reshape(bq, k_beams, n_head, -1), axis=-1
+        ).reshape(scores.shape).astype(cv.dtype)
+        out = jnp.einsum("bkhps,bphds->bkhd", w, cvv)
+        return out.reshape(b, n_head, 1, dh)
+
     def _cross_attn(q, xk, xv):
         # q (B,H,T,Dh) → grouped (Bx,G,H,T,Dh); xk/xv (Bx,H,Dh,S)
         qg = q.reshape(q.shape[0] // group, group, *q.shape[1:])
@@ -309,8 +340,9 @@ def _decoder_pass(
         )
         ck = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
         cv = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+        attn_fn = _self_attn_anc if anc is not None else _self_attn
         x = x + _linear(
-            unsplit_heads(_self_attn(q, ck, cv)), blk["attn"]["o_w"], blk["attn"]["o_b"]
+            unsplit_heads(attn_fn(q, ck, cv)), blk["attn"]["o_w"], blk["attn"]["o_b"]
         )
         h = layer_norm(x, blk["cross_ln"]["g"], blk["cross_ln"]["b"])
         qc = split_heads(
@@ -355,9 +387,15 @@ def decode_step(
     cache: DecoderCache,
     xa_kv,
     cfg: WhisperConfig,
+    anc: jnp.ndarray = None,  # optional (Bq, K, T_max) ancestry map
 ) -> Tuple[jnp.ndarray, DecoderCache]:
-    """One autoregressive step. Returns (logits (B, V) f32, cache)."""
+    """One autoregressive step. Returns (logits (B, V) f32, cache).
+
+    With `anc`, self-attention resolves each logical beam's history
+    through the ancestry map instead of assuming physically contiguous
+    rows — the beam-search caller then never permutes the cache (see
+    _decoder_pass)."""
     logits, cache = _decoder_pass(
-        params, tokens[:, None], cache.pos, cache, xa_kv, cfg
+        params, tokens[:, None], cache.pos, cache, xa_kv, cfg, anc=anc
     )
     return logits[:, 0], cache
