@@ -23,12 +23,26 @@ enum WisAudioError {
   WISAUDIO_ECORRUPT = -2,  /* stream structure invalid */
   WISAUDIO_EUNSUPPORTED = -3, /* valid but unsupported feature */
   WISAUDIO_EARG = -4,
+  WISAUDIO_ENOSYS = -5, /* system codec library unavailable on this host */
 };
 
 /* Decode a FLAC stream to interleaved float32 in [-1, 1]. */
 int wisaudio_decode_flac(const uint8_t *data, size_t len, float **out,
                          int64_t *n_frames, int32_t *channels,
                          int32_t *sample_rate);
+
+/* Decode an MPEG audio (MP3) stream via the system libmpg123
+ * (dlopen'd at runtime; WISAUDIO_ENOSYS when absent). */
+int wisaudio_decode_mp3(const uint8_t *data, size_t len, float **out,
+                        int64_t *n_frames, int32_t *channels,
+                        int32_t *sample_rate);
+
+/* Decode an Ogg container: Vorbis (system libvorbisfile), Opus (system
+ * libopus + in-repo demux) or Ogg-FLAC (repacked into the in-repo FLAC
+ * decoder). */
+int wisaudio_decode_ogg(const uint8_t *data, size_t len, float **out,
+                        int64_t *n_frames, int32_t *channels,
+                        int32_t *sample_rate);
 
 /* Decode a RIFF/WAVE stream (PCM 8/16/24/32, IEEE float32/64, µ-law,
  * A-law) to interleaved float32. */

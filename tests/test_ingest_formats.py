@@ -71,11 +71,12 @@ def test_wav_stereo_24bit_framecount():
     assert ch == 2 and pcm.shape == (10, 2)
 
 
-def test_sniff_mp3_ogg_rejected():
+def test_sniff_mp3_ogg_detected():
     from wis_tpu.audio.ingest import IngestError, load_audio, sniff_format
 
     assert sniff_format(b"ID3\x04...") == "mp3"
     assert sniff_format(b"OggS....") == "ogg"
+    # corrupt streams fail cleanly through the ingest error type
     with pytest.raises(IngestError):
         load_audio(b"OggS" + b"\x00" * 64)
 
@@ -92,3 +93,65 @@ def test_pcm_requires_stream_params():
 
     with pytest.raises(IngestError):
         load_audio(b"\x00\x00" * 100, codec="pcm")
+
+
+# ---------------------------------------------------------------------- #
+# MP3 / Ogg decode parity (reference decodes these via FFmpeg,
+# main.py:108-120; here native/wisaudio/sysdec.cc binds the system codec
+# libraries at runtime). Fixtures are synthesized with the system
+# *encoder* libraries — see tests/fixture_codecs.py.
+# ---------------------------------------------------------------------- #
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+import fixture_codecs as fx  # noqa: E402
+from wis_tpu.audio.ingest import load_audio  # noqa: E402
+
+
+def _tone(seconds=2.0, sr=16000, f=440.0):
+    t = np.arange(int(seconds * sr)) / sr
+    return (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+
+def _dominant_freq(pcm, sr=16000):
+    return np.fft.rfftfreq(len(pcm), 1 / sr)[np.argmax(np.abs(np.fft.rfft(pcm)))]
+
+
+@pytest.mark.skipif(not fx.lame_available(), reason="libmp3lame unavailable")
+def test_mp3_decode_roundtrip():
+    tone = _tone()
+    pcm = load_audio(fx.encode_mp3(tone))
+    assert abs(len(pcm) - len(tone)) < 4000  # encoder delay padding
+    assert abs(_dominant_freq(pcm) - 440.0) < 2.0
+
+
+@pytest.mark.skipif(not fx.opus_available(), reason="libopus unavailable")
+def test_ogg_opus_decode_roundtrip():
+    tone = _tone()
+    pcm = load_audio(fx.encode_ogg_opus(tone))
+    assert abs(len(pcm) - len(tone)) < 2000
+    assert abs(_dominant_freq(pcm) - 440.0) < 2.0
+
+
+@pytest.mark.skipif(not fx.vorbis_available(), reason="libvorbis unavailable")
+def test_ogg_vorbis_decode_roundtrip():
+    tone = _tone()
+    pcm = load_audio(fx.encode_ogg_vorbis(tone))
+    assert abs(len(pcm) - len(tone)) < 2000
+    assert abs(_dominant_freq(pcm) - 440.0) < 2.0
+
+
+def test_ogg_flac_bit_exact(reference_dir):
+    flac = (reference_dir / "client" / "3sec.flac").read_bytes()
+    ogg = fx.wrap_ogg_flac(flac)
+    np.testing.assert_allclose(load_audio(ogg), load_audio(flac))
+
+
+def test_mp3_stereo_44k_resampled():
+    """Non-native rate + stereo exercises downmix + resample."""
+    if not fx.lame_available():
+        pytest.skip("libmp3lame unavailable")
+    sr = 44100
+    t = np.arange(int(1.0 * sr)) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    pcm = load_audio(fx.encode_mp3(tone, sr=sr))
+    assert abs(_dominant_freq(pcm) - 440.0) < 3.0

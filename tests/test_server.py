@@ -279,3 +279,63 @@ def test_status_endpoint(engine):
         }
 
     _run(engine, go)
+
+
+def test_willow_mp3_and_ogg_end_to_end(engine):
+    """The reference accepts anything FFmpeg can decode through
+    /api/willow (main.py:108-120, 1296-1314); mp3 and ogg uploads must
+    transcribe end-to-end here too (system codec libs via sysdec.cc)."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    import fixture_codecs as fx
+
+    if not (fx.lame_available() and fx.vorbis_available()):
+        pytest.skip("system codec libraries unavailable")
+
+    t = np.arange(SAMPLE_RATE) / SAMPLE_RATE
+    tone = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+
+    async def go(client):
+        for body, codec in [
+            (fx.encode_mp3(tone), "mp3"),
+            (fx.encode_ogg_vorbis(tone), "ogg"),
+        ]:
+            resp = await client.post(
+                "/api/willow?model=tiny",
+                data=body,
+                headers={"x-audio-codec": codec},
+            )
+            assert resp.status == 200, (codec, await resp.text())
+            data = await resp.json()
+            assert set(data) == {"language", "text"}
+
+    _run(engine, go)
+
+
+def test_asr_multipart_mp3(engine):
+    """mp3 upload through the multipart /api/asr endpoint."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    import fixture_codecs as fx
+
+    if not fx.lame_available():
+        pytest.skip("libmp3lame unavailable")
+
+    t = np.arange(SAMPLE_RATE) / SAMPLE_RATE
+    tone = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+
+    async def go(client):
+        import aiohttp
+
+        form = aiohttp.FormData()
+        form.add_field("audio_file", fx.encode_mp3(tone), filename="a.mp3")
+        resp = await client.post("/api/asr?model=tiny", data=form)
+        assert resp.status == 200
+        data = await resp.json()
+        assert {"language", "text", "infer_time"} <= set(data)
+
+    _run(engine, go)

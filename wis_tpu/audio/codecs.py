@@ -61,7 +61,12 @@ def _load_library() -> Optional[ctypes.CDLL]:
             return None
         lib = ctypes.CDLL(_LIB_PATH)
         c_float_p = ctypes.POINTER(ctypes.c_float)
-        for name in ("wisaudio_decode_flac", "wisaudio_decode_wav"):
+        for name in (
+            "wisaudio_decode_flac",
+            "wisaudio_decode_wav",
+            "wisaudio_decode_mp3",
+            "wisaudio_decode_ogg",
+        ):
             fn = getattr(lib, name)
             fn.argtypes = [
                 ctypes.c_char_p,
@@ -138,6 +143,21 @@ def _decode_via(fn_name: str, data: bytes) -> Tuple[np.ndarray, int, int]:
 def decode_flac(data: bytes) -> Tuple[np.ndarray, int, int]:
     """FLAC bytes → ((frames, channels) float32, channels, sample_rate)."""
     return _decode_via("wisaudio_decode_flac", data)
+
+
+def decode_mp3(data: bytes) -> Tuple[np.ndarray, int, int]:
+    """MP3 bytes → ((frames, channels) float32, channels, sample_rate).
+
+    Decoded by the system libmpg123 through native/wisaudio (the
+    reference reaches the same decoder family through FFmpeg/PyAV,
+    main.py:108-120); raises CodecError(-5) when the host lacks it."""
+    return _decode_via("wisaudio_decode_mp3", data)
+
+
+def decode_ogg(data: bytes) -> Tuple[np.ndarray, int, int]:
+    """Ogg bytes (Vorbis / Opus / Ogg-FLAC) → ((frames, channels)
+    float32, channels, sample_rate)."""
+    return _decode_via("wisaudio_decode_ogg", data)
 
 
 def decode_wav(data: bytes) -> Tuple[np.ndarray, int, int]:

@@ -63,12 +63,18 @@ def load_audio(
             pcm = codecs.mix_to_mono(pcm.reshape(-1, channels))
         return codecs.resample(pcm, sample_rate, target_sr)
 
-    if kind == "wav":
-        pcm, nch, sr = codecs.decode_wav(data)
-    elif kind == "flac":
-        pcm, nch, sr = codecs.decode_flac(data)
-    else:
+    decoders = {
+        "wav": codecs.decode_wav,
+        "flac": codecs.decode_flac,
+        "mp3": codecs.decode_mp3,
+        "ogg": codecs.decode_ogg,
+    }
+    if kind not in decoders:
         raise IngestError(f"unsupported audio format: {kind}")
+    try:
+        pcm, nch, sr = decoders[kind](data)
+    except codecs.CodecError as e:
+        raise IngestError(f"{kind} decode failed: {e}") from e
 
     mono = codecs.mix_to_mono(pcm)
     return codecs.resample(mono, sr, target_sr)
