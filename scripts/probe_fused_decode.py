@@ -1,0 +1,170 @@
+"""TPU bring-up for the fused decode-step kernel.
+
+mode=micro : compile + run the micro test config on the real chip and
+             check against the XLA mirror.
+mode=time  : large-v2 beam-5 shapes, 16-step scan with the real per-step
+             glue (logits matmul + top-k + sel/ancestry update), report
+             ms/step.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wis_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from wis_tpu.models.whisper.config import WHISPER_CONFIGS, WhisperConfig
+from wis_tpu.models.whisper.weights import random_params
+from wis_tpu.ops.fused_decode import (
+    build_fused_decode_step,
+    fused_decode_step_reference,
+    pack_decoder,
+)
+from wis_tpu.ops.quant import quantize_whisper_params
+
+
+def micro():
+    cfg = WhisperConfig(
+        name="micro-fused-step",
+        n_audio_state=128, n_audio_head=2, n_audio_layer=2,
+        n_text_state=128, n_text_head=2, n_text_layer=2,
+    )
+    D, H, L = 128, 2, 2
+    Dh = D // H
+    BK, T, S = 2, 128, 128
+    rng = np.random.default_rng(0)
+    params = quantize_whisper_params(random_params(cfg, seed=0, dtype=jnp.bfloat16))
+    packed = pack_decoder(params, cfg)
+    x_emb = jnp.asarray(rng.standard_normal((BK, D)) * 0.3, jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((L, H, Dh, BK * T)) * 0.3, jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((L, H, Dh, BK * T)) * 0.3, jnp.bfloat16)
+    xak = jnp.asarray(rng.standard_normal((L, H, Dh, S)) * 0.3, jnp.bfloat16)
+    xav = jnp.asarray(rng.standard_normal((L, H, Dh, S)) * 0.3, jnp.bfloat16)
+    sel = np.zeros((BK, BK, T), np.float32)
+    sel[:, :, :9] = np.eye(BK)[:, :, None]
+    sel = jnp.asarray(sel.reshape(BK, BK * T))
+
+    step = build_fused_decode_step(cfg, bk=BK, t_cache=T, s_audio=S)
+    x_out, k_new, v_new = jax.jit(step)(packed, x_emb, kc, vc, xak, xav, sel)
+    x_ref, k_ref, v_ref = fused_decode_step_reference(
+        cfg, packed, x_emb, kc, vc, xak, xav, sel
+    )
+    for name, a, b in (("x", x_out, x_ref), ("k", k_new, k_ref), ("v", v_new, v_ref)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        d = np.abs(a - b).max()
+        print(f"micro {name}: max diff {d:.5f} (scale {np.abs(b).max():.2f})")
+        assert d < 0.05, (name, d)
+    print("micro OK")
+
+
+def timeit(t_cache=128, steps=16, bk=5):
+    cfg = WHISPER_CONFIGS["large-v2"]
+    D = cfg.n_text_state
+    H = cfg.n_text_head
+    Dh = D // H
+    L = cfg.n_text_layer
+    S = 1500
+    K = bk
+    rng = np.random.default_rng(0)
+    params = quantize_whisper_params(random_params(cfg, seed=0, dtype=jnp.bfloat16))
+    packed = pack_decoder(params, cfg)
+    dec_ln_g = params["decoder"]["ln"]["g"].astype(jnp.float32)
+    dec_ln_b = params["decoder"]["ln"]["b"].astype(jnp.float32)
+    emb = params["decoder"]["tok_emb"]
+    pos_emb = params["decoder"]["pos"]
+
+    kc = jnp.zeros((L, H, Dh, K, t_cache), jnp.bfloat16)
+    vc = jnp.zeros((L, H, Dh, K, t_cache), jnp.bfloat16)
+    xak = jnp.asarray(rng.standard_normal((L, H, Dh, S)) * 0.1, jnp.bfloat16)
+    xav = jnp.asarray(rng.standard_normal((L, H, Dh, S)) * 0.1, jnp.bfloat16)
+
+    step = build_fused_decode_step(cfg, bk=K, t_cache=t_cache, s_audio=S)
+
+    @jax.jit
+    def run(packed, kc, vc, xak, xav):
+        anc0 = jnp.where(
+            jnp.arange(t_cache)[None, :] < 4,
+            jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, t_cache)),
+            -1,
+        )
+        tok0 = jnp.zeros((K,), jnp.int32)
+
+        def body(carry, _):
+            kc, vc, anc, tok, pos = carry
+            x_emb = (
+                jnp.take(emb, tok, axis=0).astype(jnp.float32)
+                + pos_emb[pos].astype(jnp.float32)[None]
+            )
+            sel = (
+                jax.nn.one_hot(anc, K, dtype=jnp.float32)
+                .swapaxes(-1, -2)
+                .reshape(K, K * t_cache)
+            )
+            x_out, k_new, v_new = step(
+                packed, x_emb,
+                kc.reshape(L, H, Dh, K * t_cache),
+                vc.reshape(L, H, Dh, K * t_cache),
+                xak, xav, sel,
+            )
+            kc = jax.lax.dynamic_update_slice(
+                kc, k_new.swapaxes(2, 3)[..., None], (0, 0, 0, 0, pos)
+            )
+            vc = jax.lax.dynamic_update_slice(
+                vc, v_new.swapaxes(2, 3)[..., None], (0, 0, 0, 0, pos)
+            )
+            xn = (
+                (x_out - jnp.mean(x_out, -1, keepdims=True))
+                * jax.lax.rsqrt(jnp.var(x_out, -1, keepdims=True) + 1e-5)
+                * dec_ln_g + dec_ln_b
+            )
+            logits = jnp.einsum(
+                "bd,vd->bv", xn.astype(jnp.bfloat16), emb,
+                preferred_element_type=jnp.float32,
+            )
+            # beam bookkeeping analog: top-k + forced rotation parents
+            cand_val, cand_tok = jax.lax.top_k(logits, K)
+            lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+            parent = (jnp.arange(K, dtype=jnp.int32) + 1) % K
+            anc = jax.lax.dynamic_update_index_in_dim(
+                anc, jnp.arange(K, dtype=jnp.int32), pos, axis=1
+            )
+            anc = jnp.take(anc, parent, axis=0)
+            tok = jnp.take(cand_tok[:, 0], parent, axis=0)
+            return (kc, vc, anc, tok, pos + 1), cand_val[:, 0]
+
+        (kc, vc, anc, tok, pos), vals = jax.lax.scan(
+            body, (kc, vc, anc0, tok0, jnp.int32(4)), None, length=steps
+        )
+        return tok, vals[-1]
+
+    t0 = time.perf_counter()
+    out = np.asarray(run(packed, kc, vc, xak, xav)[0])
+    print(f"compile+first: {time.perf_counter()-t0:.1f}s")
+    times = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        np.asarray(run(packed, kc, vc, xak, xav)[0])
+        times.append((time.perf_counter() - t0) * 1000)
+    med = sorted(times)[len(times) // 2]
+    per = (med - 26.0) / steps
+    print(
+        f"fused step (T={t_cache}, K={bk}): {per:.2f} ms/step "
+        f"({steps}-step scan, raw {['%.1f' % t for t in times]})"
+    )
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "micro"
+    if mode == "micro":
+        micro()
+    else:
+        timeit(t_cache=int(sys.argv[2]) if len(sys.argv) > 2 else 128)

@@ -1,0 +1,159 @@
+"""Fused decode-step kernel tests (ops/fused_decode.py).
+
+Runs in Pallas interpret mode on the CPU mesh; the TPU bring-up is
+exercised by scripts/probe_fused_decode.py and the production beam path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wis_tpu.models.whisper.config import WhisperConfig
+from wis_tpu.models.whisper.model import DecoderCache, decode_step
+from wis_tpu.models.whisper.weights import random_params
+from wis_tpu.ops.fused_decode import (
+    build_fused_decode_step,
+    fused_decode_step_reference,
+    pack_decoder,
+)
+from wis_tpu.ops.quant import quantize_whisper_params
+
+CFG = WhisperConfig(
+    name="micro-fused-step",
+    n_audio_state=128,
+    n_audio_head=2,
+    n_audio_layer=2,
+    n_text_state=128,
+    n_text_head=2,
+    n_text_layer=2,
+)
+D = CFG.n_text_state
+H = CFG.n_text_head
+DH = D // H
+L = CFG.n_text_layer
+BK = 2
+T = 128
+S = 128
+
+
+def _setup(seed=0, n_written=7):
+    rng = np.random.default_rng(seed)
+    params = random_params(CFG, seed=seed, dtype=jnp.bfloat16)
+    params = quantize_whisper_params(params)
+    packed = pack_decoder(params, CFG)
+
+    x_emb = jnp.asarray(rng.standard_normal((BK, D)) * 0.3, jnp.float32)
+    k_cache = jnp.zeros((L, H, DH, BK, T), jnp.bfloat16)
+    v_cache = jnp.zeros((L, H, DH, BK, T), jnp.bfloat16)
+    fill_k = rng.standard_normal((L, H, DH, BK, n_written)) * 0.3
+    fill_v = rng.standard_normal((L, H, DH, BK, n_written)) * 0.3
+    k_cache = k_cache.at[..., :n_written].set(jnp.asarray(fill_k, jnp.bfloat16))
+    v_cache = v_cache.at[..., :n_written].set(jnp.asarray(fill_v, jnp.bfloat16))
+    xa_k = jnp.asarray(rng.standard_normal((L, H, DH, S)) * 0.3, jnp.bfloat16)
+    xa_v = jnp.asarray(rng.standard_normal((L, H, DH, S)) * 0.3, jnp.bfloat16)
+
+    # ancestry: each beam's first n_written positions in a random row
+    anc = rng.integers(0, BK, (BK, T))
+    anc[:, n_written:] = -1
+    sel = np.zeros((BK, BK, T), np.float32)
+    for b in range(BK):
+        for s in range(n_written):
+            sel[b, anc[b, s], s] = 1.0
+    sel = jnp.asarray(sel.reshape(BK, BK * T))
+    return params, packed, x_emb, k_cache, v_cache, xa_k, xa_v, sel, anc
+
+
+def test_kernel_matches_reference():
+    (params, packed, x_emb, k_cache, v_cache, xa_k, xa_v, sel, _) = _setup()
+    step = build_fused_decode_step(CFG, bk=BK, t_cache=T, s_audio=S)
+    kc_flat = k_cache.reshape(L, H, DH, BK * T)
+    vc_flat = v_cache.reshape(L, H, DH, BK * T)
+    x_out, k_new, v_new = jax.jit(step)(
+        packed, x_emb, kc_flat, vc_flat, xa_k, xa_v, sel
+    )
+    x_ref, k_ref, v_ref = fused_decode_step_reference(
+        CFG, packed, x_emb, kc_flat, vc_flat, xa_k, xa_v, sel
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_out), np.asarray(x_ref), rtol=2e-2, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(k_new, np.float32), np.asarray(k_ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_new, np.float32), np.asarray(v_ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_reference_matches_model_decode_step():
+    """The packed-form math must agree with the production XLA decoder
+    (model._decoder_pass with ancestry) on logits and the written K/V
+    column, up to f32-vs-bf16 residual accumulation."""
+    (params, packed, x_emb, k_cache, v_cache, xa_k, xa_v, sel, anc) = _setup()
+    n_written = 7
+
+    # model path: cache layout (L, BK, H, Dh, T), anc includes own pos
+    k_model = k_cache.transpose(0, 3, 1, 2, 4)
+    v_model = v_cache.transpose(0, 3, 1, 2, 4)
+    cache = DecoderCache(
+        k_model, v_model, jnp.int32(n_written)
+    )
+    anc_model = np.array(anc)
+    anc_model[:, n_written] = np.arange(BK)  # own row at current pos
+    anc_model = jnp.asarray(anc_model[None], jnp.int32)  # (1, BK, T)
+
+    # calling the decoder pass with a crafted embedding
+    # directly is not exposed; pick
+    # a real token and recompute x_emb to match.
+    dec = params["decoder"]
+    tok = jnp.asarray([5, 9], jnp.int32)
+    x_emb = (
+        jnp.take(dec["tok_emb"], tok, axis=0).astype(jnp.float32)
+        + dec["pos"][n_written].astype(jnp.float32)[None]
+    )
+
+    logits_model, cache2 = decode_step(
+        params, tok, cache, (xa_k[:, None], xa_v[:, None]), CFG, anc=anc_model
+    )
+
+    x_ref, k_ref, v_ref = fused_decode_step_reference(
+        CFG, packed, x_emb,
+        k_cache.reshape(L, H, DH, BK * T),
+        v_cache.reshape(L, H, DH, BK * T),
+        xa_k, xa_v, sel,
+    )
+    xn = (
+        (x_ref - jnp.mean(x_ref, -1, keepdims=True))
+        * jax.lax.rsqrt(jnp.var(x_ref, -1, keepdims=True) + 1e-5)
+        * dec["ln"]["g"] + dec["ln"]["b"]
+    )
+    logits_ref = jnp.einsum(
+        "bd,vd->bv", xn.astype(jnp.bfloat16), dec["tok_emb"],
+        preferred_element_type=jnp.float32,
+    )
+    lm = np.asarray(logits_model)
+    lr = np.asarray(logits_ref)
+    # same argmax and high correlation (bf16 vs f32 residual paths)
+    np.testing.assert_array_equal(lm.argmax(-1), lr.argmax(-1))
+    corr = np.corrcoef(lm.ravel(), lr.ravel())[0, 1]
+    assert corr > 0.999, corr
+
+    # the K/V column the model wrote must match the kernel's outputs
+    k_col = np.asarray(cache2.k[:, :, :, :, n_written], np.float32)
+    # (L, BK, H, Dh) -> (L, H, BK, Dh)
+    k_col = k_col.transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(
+        k_col, np.asarray(k_ref, np.float32), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_pack_decoder_shapes():
+    params = quantize_whisper_params(random_params(CFG, seed=1))
+    packed = pack_decoder(params, CFG)
+    assert packed.w.shape == (L, 14, D, D)
+    assert packed.s.shape == (L, 14, 1, D)
+    assert packed.b.shape == (L, 14, 1, D)
+    assert packed.ln.shape == (L, 6, D)
