@@ -174,7 +174,9 @@ class StreamingSession:
             )
             return [
                 _msg("infer", {"text": result.text, "language": result.language,
-                               "time": result.infer_time_ms}),
+                               "time": result.infer_time_ms,
+                               "audio_duration": result.audio_duration_ms,
+                               "speedup": result.infer_speedup}),
                 _msg(
                     "log",
                     {
