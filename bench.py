@@ -1,21 +1,26 @@
-"""Headline benchmark — Whisper large-v2, beam 5, 3.84 s fixture.
+"""Driver benchmark — whisper realtime multiples across the reference's
+published table (BASELINE.md / reference README.md:69-103).
 
-Mirrors the reference's headline row (BASELINE.md: 140 ms / 27x realtime
-on RTX 4090, README.md:71, measured as the API-reported `infer_time` with
-model load excluded). Same protocol here: end-to-end engine time —
-features + encoder + beam-5 KV-cached decode + token decode — on one TPU
-chip, p50 of repeated runs after warmup, model load/compile excluded.
+Prints one JSON line per config, HEADLINE FIRST (drivers that read a
+single line get the headline row; the full set makes the BENCH.md
+cross-config table driver-audited):
+
+  1. large-v2 beam-5, 3.84 s  — vs RTX 4090 27x   (the headline row)
+  2. large-v2 beam-5, 10.7 s  — vs H100 20x       (best published)
+  3. large-v2 beam-5, 29.2 s  — vs H100 23x
+  4. medium  beam-1, 3.84 s  — vs RTX 4090 45x
+  5. medium  beam-1, 29.2 s  — vs RTX 4090 77x
+
+Protocol mirrors the reference's headline measurement: the API-reported
+`infer_time` (features + encoder + decode + text), model load/compile
+excluded, p50 of repeated runs after warmup (reference main.py:1218-1224,
+README.md:69).
 
 Weights are seeded-random when no checkpoint is present (latency is
-weight-independent); decode length is capped at 32 new tokens, a
-realistic budget for 3.84 s of speech (~15-25 tokens + EOT in the
-reference transcript) since random weights never emit EOT. With real
-weights the same program exits early at EOT, so this cap does not
-understate production latency.
-
-Prints one JSON line:
-  {"metric": "large-v2_beam5_3.84s_realtime_x", "value": <p50 speedup>,
-   "unit": "x_realtime", "vs_baseline": <value / 27.0>}
+weight-independent); per-row decode budgets are realistic transcript
+lengths for each fixture (~2-4 tokens/s of speech + EOT) since random
+weights never emit EOT. With real weights the same program exits early
+at EOT, so the caps do not understate production latency.
 """
 
 from __future__ import annotations
@@ -23,70 +28,90 @@ from __future__ import annotations
 import json
 import statistics
 import sys
-import time
 
 import numpy as np
 
-AUDIO_MS = 3840.0
-BASELINE_X = 27.0  # RTX 4090, reference README.md:71
-TOKEN_BUDGET = 32
 RUNS = 10
+WARMUP = 2
+
+#: (metric, model, beam, fixture, synth_ms, token_budget, baseline_x, baseline_hw)
+CONFIGS = [
+    ("large-v2_beam5_3.84s_realtime_x", "large", 5, "3sec.flac", 3840, 32,
+     27.0, "RTX4090"),
+    ("large-v2_beam5_10.7s_realtime_x", "large", 5, "10sec.flac", 10688, 64,
+     20.0, "H100"),
+    ("large-v2_beam5_29.2s_realtime_x", "large", 5, "30sec.flac", 29248, 100,
+     23.0, "H100"),
+    ("medium_beam1_3.84s_realtime_x", "medium", 1, "3sec.flac", 3840, 32,
+     45.0, "RTX4090"),
+    ("medium_beam1_29.2s_realtime_x", "medium", 1, "30sec.flac", 29248, 100,
+     77.0, "RTX4090"),
+]
 
 
-def _load_fixture() -> np.ndarray:
+def _load_fixture(name: str, synth_ms: int) -> np.ndarray:
     try:
         from wis_tpu.audio.ingest import load_audio
 
-        with open("/root/reference/client/3sec.flac", "rb") as f:
+        with open(f"/root/reference/client/{name}", "rb") as f:
             return load_audio(f.read())
     except Exception:
         rng = np.random.default_rng(0)
-        return (rng.standard_normal(61440) * 0.05).astype(np.float32)
+        n = int(synth_ms * 16)  # 16 kHz
+        return (rng.standard_normal(n) * 0.05).astype(np.float32)
 
 
-def main() -> None:
+def _engine(model: str, beam: int):
     from wis_tpu.runtime.engine import WhisperEngine
     from wis_tpu.runtime.residency import ModelRegistry
     from wis_tpu.settings import APISettings
 
     settings = APISettings(
-        whisper_model_default="large",
-        beam_size=5,
-        # beam-5 must not be overridden by long mode for this fixture
-        long_beam_size=5,
+        whisper_model_default=model,
+        beam_size=beam,
+        # long mode must not override the row's beam (reference rows fix
+        # the beam per config)
+        long_beam_size=beam,
         batch_buckets=["1", "2", "4", "8"],
     )
-    engine = WhisperEngine(ModelRegistry(settings), settings)
-    audio = _load_fixture()
+    return WhisperEngine(ModelRegistry(settings), settings)
 
-    # warmup: compile + first dispatch (excluded, as the reference excludes
-    # model load and runs warm_models first)
-    for _ in range(2):
-        engine.transcribe(audio, model="large", beam_size=5, max_tokens=TOKEN_BUDGET)
 
-    times = []
-    for _ in range(RUNS):
-        t0 = time.perf_counter()
-        res = engine.transcribe(
-            audio, model="large", beam_size=5, max_tokens=TOKEN_BUDGET
+def main() -> None:
+    engines = {}
+    for metric, model, beam, fixture, synth_ms, budget, base_x, base_hw in CONFIGS:
+        key = (model, beam)
+        if key not in engines:
+            engines[key] = _engine(model, beam)
+        eng = engines[key]
+        audio = _load_fixture(fixture, synth_ms)
+        audio_ms = audio.shape[0] / 16.0
+
+        for _ in range(WARMUP):
+            eng.transcribe(audio, model=model, beam_size=beam, max_tokens=budget)
+        times = []
+        for _ in range(RUNS):
+            res = eng.transcribe(
+                audio, model=model, beam_size=beam, max_tokens=budget
+            )
+            times.append(res.infer_time_ms)
+        p50 = statistics.median(times)
+        speedup = audio_ms / p50
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": round(speedup, 2),
+                    "unit": "x_realtime",
+                    "vs_baseline": round(speedup / base_x, 3),
+                    "baseline": f"{base_x}x {base_hw}",
+                    "p50_infer_ms": round(p50, 1),
+                    "all_ms": [round(t, 1) for t in times],
+                    "token_budget": budget,
+                }
+            ),
+            flush=True,
         )
-        times.append(res.infer_time_ms)
-        del t0
-    p50 = statistics.median(times)
-    speedup = AUDIO_MS / p50
-    print(
-        json.dumps(
-            {
-                "metric": "large-v2_beam5_3.84s_realtime_x",
-                "value": round(speedup, 2),
-                "unit": "x_realtime",
-                "vs_baseline": round(speedup / BASELINE_X, 3),
-                "p50_infer_ms": round(p50, 1),
-                "all_ms": [round(t, 1) for t in times],
-                "token_budget": TOKEN_BUDGET,
-            }
-        )
-    )
 
 
 if __name__ == "__main__":

@@ -84,8 +84,15 @@ def timeit(t_cache=128, steps=16, bk=5):
 
     kc = jnp.zeros((L, H, Dh, K, t_cache), jnp.bfloat16)
     vc = jnp.zeros((L, H, Dh, K, t_cache), jnp.bfloat16)
-    xak = jnp.asarray(rng.standard_normal((L, H, Dh, S)) * 0.1, jnp.bfloat16)
-    xav = jnp.asarray(rng.standard_normal((L, H, Dh, S)) * 0.1, jnp.bfloat16)
+    s_pad = ((S + 127) // 128) * 128  # kernel wants tile-aligned xa
+    xak = jnp.asarray(
+        np.pad(rng.standard_normal((L, H, Dh, S)) * 0.1, [(0, 0)] * 3 + [(0, s_pad - S)]),
+        jnp.bfloat16,
+    )
+    xav = jnp.asarray(
+        np.pad(rng.standard_normal((L, H, Dh, S)) * 0.1, [(0, 0)] * 3 + [(0, s_pad - S)]),
+        jnp.bfloat16,
+    )
 
     step = build_fused_decode_step(cfg, bk=K, t_cache=t_cache, s_audio=S)
 
@@ -162,9 +169,189 @@ def timeit(t_cache=128, steps=16, bk=5):
     )
 
 
+def parts(t_cache=128, steps=16, bk=5):
+    """Bare-kernel scans (no beam glue) with DMA streams selectively
+    disabled — attributes per-step time to weights / cache / cross-KV."""
+    cfg = WHISPER_CONFIGS["large-v2"]
+    D, H = cfg.n_text_state, cfg.n_text_head
+    Dh = D // H
+    L = cfg.n_text_layer
+    S = 1500
+    s_pad = 1536
+    K = bk
+    rng = np.random.default_rng(0)
+    params = quantize_whisper_params(random_params(cfg, seed=0, dtype=jnp.bfloat16))
+    packed = pack_decoder(params, cfg)
+    kc = jnp.asarray(rng.standard_normal((L, H, Dh, K * t_cache)) * 0.1, jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((L, H, Dh, K * t_cache)) * 0.1, jnp.bfloat16)
+    xak = jnp.asarray(rng.standard_normal((L, H, Dh, s_pad)) * 0.1, jnp.bfloat16)
+    xav = jnp.asarray(rng.standard_normal((L, H, Dh, s_pad)) * 0.1, jnp.bfloat16)
+    sel = np.zeros((K, K, t_cache), np.float32)
+    sel[:, :, :8] = np.eye(K)[:, :, None]
+    sel = jnp.asarray(sel.reshape(K, K * t_cache))
+    x0 = jnp.asarray(rng.standard_normal((K, D)) * 0.1, jnp.float32)
+
+    for skip in [(), ("w",), ("cache",), ("xa",), ("w", "cache", "xa")]:
+        step = build_fused_decode_step(
+            cfg, bk=K, t_cache=t_cache, s_audio=S, _skip=skip
+        )
+
+        @jax.jit
+        def run(packed, x0, kc, vc, xak, xav, sel):
+            def body(x, _):
+                x_out, k_new, v_new = step(packed, x, kc, vc, xak, xav, sel)
+                # keep outputs alive; renormalize so values stay finite
+                x_next = (
+                    x_out * jax.lax.rsqrt(jnp.mean(x_out * x_out) + 1e-6)
+                    + jnp.sum(k_new).astype(jnp.float32) * 1e-9
+                    + jnp.sum(v_new).astype(jnp.float32) * 1e-9
+                )
+                return x_next, ()
+
+            x, _ = jax.lax.scan(body, x0, None, length=steps)
+            return x
+
+        t0 = time.perf_counter()
+        np.asarray(run(packed, x0, kc, vc, xak, xav, sel))
+        compile_s = time.perf_counter() - t0
+        times = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            np.asarray(run(packed, x0, kc, vc, xak, xav, sel))
+            times.append((time.perf_counter() - t0) * 1000)
+        med = sorted(times)[len(times) // 2]
+        per = (med - 26.0) / steps
+        print(
+            f"bare kernel skip={skip or 'none'}: {per:.2f} ms/step "
+            f"(compile {compile_s:.0f}s, raw {['%.0f' % t for t in times]})",
+            flush=True,
+        )
+
+
+def glue(t_cache=128, steps=16, bk=5):
+    """Adds the beam-glue components one at a time onto the bare-kernel
+    scan to find which one costs ~9 ms/step (timeit vs parts gap)."""
+    cfg = WHISPER_CONFIGS["large-v2"]
+    D, H = cfg.n_text_state, cfg.n_text_head
+    Dh = D // H
+    L = cfg.n_text_layer
+    S = 1500
+    s_pad = 1536
+    K = bk
+    rng = np.random.default_rng(0)
+    params = quantize_whisper_params(random_params(cfg, seed=0, dtype=jnp.bfloat16))
+    packed = pack_decoder(params, cfg)
+    emb = params["decoder"]["tok_emb"]
+    pos_emb = params["decoder"]["pos"]
+    kc0 = jnp.zeros((L, H, Dh, K, t_cache), jnp.bfloat16)
+    vc0 = jnp.zeros((L, H, Dh, K, t_cache), jnp.bfloat16)
+    xak = jnp.asarray(rng.standard_normal((L, H, Dh, s_pad)) * 0.1, jnp.bfloat16)
+    xav = jnp.asarray(rng.standard_normal((L, H, Dh, s_pad)) * 0.1, jnp.bfloat16)
+    sel0 = np.zeros((K, K, t_cache), np.float32)
+    sel0[:, :, :8] = np.eye(K)[:, :, None]
+    sel0 = jnp.asarray(sel0.reshape(K, K * t_cache))
+    x0 = jnp.asarray(rng.standard_normal((K, D)) * 0.1, jnp.float32)
+    step = build_fused_decode_step(cfg, bk=K, t_cache=t_cache, s_audio=S)
+
+    def make(cache_upd=False, selanc=False, embed=False, logits=False):
+        @jax.jit
+        def run(packed, x0, kc, vc, xak, xav, sel):
+            def body(carry, _):
+                x, kc, vc, anc, tok, pos = carry
+                if selanc:
+                    sel_t = (
+                        jax.nn.one_hot(anc, K, dtype=jnp.float32)
+                        .swapaxes(-1, -2)
+                        .reshape(K, K * t_cache)
+                    )
+                else:
+                    sel_t = sel
+                if embed:
+                    x_in = (
+                        jnp.take(emb, tok, axis=0).astype(jnp.float32)
+                        + pos_emb[pos].astype(jnp.float32)[None]
+                    )
+                else:
+                    x_in = x
+                x_out, k_new, v_new = step(
+                    packed, x_in,
+                    kc.reshape(L, H, Dh, K * t_cache),
+                    vc.reshape(L, H, Dh, K * t_cache),
+                    xak, xav, sel_t,
+                )
+                if cache_upd:
+                    kc = jax.lax.dynamic_update_slice(
+                        kc, k_new.swapaxes(2, 3)[..., None], (0, 0, 0, 0, pos)
+                    )
+                    vc = jax.lax.dynamic_update_slice(
+                        vc, v_new.swapaxes(2, 3)[..., None], (0, 0, 0, 0, pos)
+                    )
+                if logits:
+                    xn = x_out * jax.lax.rsqrt(
+                        jnp.mean(x_out * x_out, -1, keepdims=True) + 1e-6
+                    )
+                    lg = jnp.einsum(
+                        "bd,vd->bv", xn.astype(jnp.bfloat16), emb,
+                        preferred_element_type=jnp.float32,
+                    )
+                    cand_val, cand_tok = jax.lax.top_k(lg, K)
+                    lse = jax.scipy.special.logsumexp(lg, axis=-1, keepdims=True)
+                    tok = cand_tok[:, 0] + (lse[0, 0] * 0).astype(jnp.int32)
+                    x = x_out + cand_val[0, 0] * 1e-9
+                else:
+                    x = x_out * jax.lax.rsqrt(jnp.mean(x_out * x_out) + 1e-6)
+                parent = (jnp.arange(K, dtype=jnp.int32) + 1) % K
+                if selanc:
+                    anc = jax.lax.dynamic_update_index_in_dim(
+                        anc, jnp.arange(K, dtype=jnp.int32), pos, axis=1
+                    )
+                    anc = jnp.take(anc, parent, axis=0)
+                return (x, kc, vc, anc, tok, pos + 1), ()
+
+            anc0 = jnp.where(
+                jnp.arange(t_cache)[None, :] < 8,
+                jnp.broadcast_to(
+                    jnp.arange(K, dtype=jnp.int32)[:, None], (K, t_cache)
+                ),
+                -1,
+            )
+            tok0 = jnp.zeros((K,), jnp.int32)
+            carry, _ = jax.lax.scan(
+                body, (x0, kc, vc, anc0, tok0, jnp.int32(8)), None, length=steps
+            )
+            return carry[0], carry[5]
+
+        return run
+
+    variants = [
+        ("bare", {}),
+        ("+cache_upd", dict(cache_upd=True)),
+        ("+selanc", dict(cache_upd=True, selanc=True)),
+        ("+embed", dict(cache_upd=True, selanc=True, embed=True)),
+        ("+logits(all)", dict(cache_upd=True, selanc=True, embed=True, logits=True)),
+    ]
+    for name, kwargs in variants:
+        run = make(**kwargs)
+        t0 = time.perf_counter()
+        np.asarray(run(packed, x0, kc0, vc0, xak, xav, sel0)[0])
+        compile_s = time.perf_counter() - t0
+        times = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            np.asarray(run(packed, x0, kc0, vc0, xak, xav, sel0)[0])
+            times.append((time.perf_counter() - t0) * 1000)
+        med = sorted(times)[len(times) // 2]
+        per = (med - 26.0) / steps
+        print(f"glue {name}: {per:.2f} ms/step (compile {compile_s:.0f}s)", flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "micro"
     if mode == "micro":
         micro()
+    elif mode == "parts":
+        parts(t_cache=int(sys.argv[2]) if len(sys.argv) > 2 else 128)
+    elif mode == "glue":
+        glue(t_cache=int(sys.argv[2]) if len(sys.argv) > 2 else 128)
     else:
         timeit(t_cache=int(sys.argv[2]) if len(sys.argv) > 2 else 128)

@@ -140,3 +140,22 @@ def test_decode_bucket_selection():
     # long audio always uses the full bucket
     assert e._decode_bucket(29000, None) == 224
     assert e._decode_bucket(29000, 32) == 224
+
+
+def test_fused_decode_engine_path():
+    """fused_decode="on" routes batch-1 programs through the all-layers
+    Pallas kernel (interpret mode on CPU); results keep engine semantics
+    and the program key records the fused variant."""
+    settings = APISettings(
+        max_decode_tokens=4,
+        decode_token_buckets=["4"],
+        batch_buckets=["1"],
+        warmup_iterations=0,
+        whisper_model_default="tiny",
+        fused_decode="on",
+    )
+    eng = WhisperEngine(ModelRegistry(settings), settings)
+    res = eng.transcribe(_audio(1.0), model="tiny", beam_size=2, max_tokens=4)
+    assert isinstance(res.text, str)
+    assert res.audio_duration_ms == 1000
+    assert any(k[-1] is True for k in eng._programs)  # fused program compiled

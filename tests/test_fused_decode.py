@@ -150,6 +150,76 @@ def test_reference_matches_model_decode_step():
     )
 
 
+def test_fused_generate_matches_xla_beam_path():
+    """The production beam program with fused=True (interpret-mode kernel
+    on CPU) must decode the same tokens as the XLA ancestry path on the
+    micro config."""
+    from wis_tpu.decoding.beam import build_generate_xa
+
+    cfg = WhisperConfig(
+        name="micro-fused-gen",
+        n_audio_state=D, n_audio_head=H, n_audio_layer=L,
+        n_text_state=D, n_text_head=H, n_text_layer=L,
+        n_audio_ctx=S,
+    )
+    rng = np.random.default_rng(3)
+    params = quantize_whisper_params(random_params(cfg, seed=3, dtype=jnp.bfloat16))
+    packed = pack_decoder(params, cfg)
+    xa_k = jnp.asarray(rng.standard_normal((L, 1, H, DH, S)) * 0.3, jnp.bfloat16)
+    xa_v = jnp.asarray(rng.standard_normal((L, 1, H, DH, S)) * 0.3, jnp.bfloat16)
+    prompt = jnp.asarray([1, 2, 3], jnp.int32)
+
+    # restrict the vocab to a handful of candidates: random-weight logits
+    # are near-uniform over 51k ids, so f32-vs-bf16 residual noise could
+    # flip top-k choices; over 6 candidates the gaps are wide and both
+    # paths must make identical search decisions (kernel numerics
+    # themselves are pinned by test_kernel_matches_reference)
+    allowed = {100, 200, 300, 400, 500, 600}
+    sup = tuple(i for i in range(cfg.n_vocab) if i not in allowed)
+    kw = dict(
+        beam_size=2, batch=1, max_new_tokens=6, prompt_len=3,
+        suppress_tokens=sup, begin_suppress_tokens=(),
+    )
+    gen_f = build_generate_xa(cfg, **kw, fused=True)
+    gen_x = build_generate_xa(cfg, **kw, ancestry=True)
+    rf = gen_f(params, packed, (xa_k, xa_v), prompt, jnp.int32(6))
+    rx = gen_x(params, (xa_k, xa_v), prompt, jnp.int32(6))
+    np.testing.assert_array_equal(np.asarray(rf.tokens), np.asarray(rx.tokens))
+    np.testing.assert_array_equal(np.asarray(rf.best), np.asarray(rx.best))
+    np.testing.assert_allclose(
+        np.asarray(rf.scores), np.asarray(rx.scores), rtol=5e-2, atol=5e-2
+    )
+
+
+def test_fused_generate_greedy():
+    """K=1 greedy through the fused kernel (bk=1 shapes)."""
+    from wis_tpu.decoding.beam import build_generate_xa
+
+    cfg = WhisperConfig(
+        name="micro-fused-greedy",
+        n_audio_state=D, n_audio_head=H, n_audio_layer=L,
+        n_text_state=D, n_text_head=H, n_text_layer=L,
+        n_audio_ctx=S,
+    )
+    rng = np.random.default_rng(5)
+    params = quantize_whisper_params(random_params(cfg, seed=5, dtype=jnp.bfloat16))
+    packed = pack_decoder(params, cfg)
+    xa_k = jnp.asarray(rng.standard_normal((L, 1, H, DH, S)) * 0.3, jnp.bfloat16)
+    xa_v = jnp.asarray(rng.standard_normal((L, 1, H, DH, S)) * 0.3, jnp.bfloat16)
+    prompt = jnp.asarray([1, 2, 3], jnp.int32)
+    kw = dict(
+        beam_size=1, batch=1, max_new_tokens=4, prompt_len=3,
+        suppress_tokens=(), begin_suppress_tokens=(),
+    )
+    rf = build_generate_xa(cfg, **kw, fused=True)(
+        params, packed, (xa_k, xa_v), prompt, jnp.int32(4)
+    )
+    rx = build_generate_xa(cfg, **kw, ancestry=True)(
+        params, (xa_k, xa_v), prompt, jnp.int32(4)
+    )
+    np.testing.assert_array_equal(np.asarray(rf.tokens), np.asarray(rx.tokens))
+
+
 def test_pack_decoder_shapes():
     params = quantize_whisper_params(random_params(CFG, seed=1))
     packed = pack_decoder(params, CFG)

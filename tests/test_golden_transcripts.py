@@ -1,0 +1,96 @@
+"""Golden-transcript validation on the reference fixtures — real weights.
+
+Latency parity is weight-independent, but transcript parity (the
+reference warms up by transcribing client/3sec.flac through CTranslate2,
+main.py:480-511; BASELINE.json configs 1-3) needs a real checkpoint.
+These tests activate when converted weights exist under
+``settings.model_dir`` (``wisctl download-models``, or mounted):
+
+1. transcribe /root/reference/client/{3sec,10sec,30sec}.flac
+2. compare against tests/goldens/transcripts.json
+3. if the goldens file does not exist yet, PIN it from this run (the
+   first run with real weights becomes the golden) and assert only
+   non-degenerate output
+
+In this build environment the network is closed: the download attempt
+is documented in BENCH.md ("Real-weight status") with the exact
+huggingface_hub error, so the skip below is auditable.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from wis_tpu.settings import APISettings
+
+FIXTURES = "/root/reference/client"
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens", "transcripts.json")
+
+#: (fixture, model, beam) — BASELINE.json configs 1-3
+CASES = [
+    ("3sec.flac", "base", 1),
+    ("10sec.flac", "medium", 5),
+    ("30sec.flac", "large", 5),
+]
+
+
+def _have_real_weights() -> bool:
+    from wis_tpu.runtime.residency import ModelRegistry
+
+    reg = ModelRegistry(APISettings())
+    return any(reg._model_dir(m) for _, m, _ in CASES)
+
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXTURES) or not _have_real_weights(),
+    reason="real whisper weights not present (network closed in the build "
+    "environment — see BENCH.md 'Real-weight status')",
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from wis_tpu.runtime.engine import WhisperEngine
+    from wis_tpu.runtime.residency import ModelRegistry
+
+    settings = APISettings(beam_size=1, long_beam_size=5)
+    return WhisperEngine(ModelRegistry(settings), settings)
+
+
+def _load(name: str) -> np.ndarray:
+    from wis_tpu.audio.ingest import load_audio
+
+    with open(os.path.join(FIXTURES, name), "rb") as f:
+        return load_audio(f.read())
+
+
+@pytest.mark.parametrize("fixture,model,beam", CASES)
+def test_golden_transcript(engine, fixture, model, beam):
+    from wis_tpu.runtime.residency import ModelRegistry
+
+    if ModelRegistry(APISettings())._model_dir(model) is None:
+        pytest.skip(f"no weights for {model}")
+    res = engine.transcribe(_load(fixture), model=model, beam_size=beam)
+    text = res.text.strip()
+    # degenerate output (empty / one repeated token) means a broken
+    # checkpoint conversion, golden match or not
+    assert len(text) > 10, text
+    assert len(set(text.split())) > 3, text
+
+    key = f"{fixture}/{model}/beam{beam}"
+    goldens = {}
+    if os.path.isfile(GOLDENS):
+        with open(GOLDENS, encoding="utf-8") as f:
+            goldens = json.load(f)
+    if key in goldens:
+        assert text == goldens[key], (
+            f"transcript drift for {key}:\n got: {text}\n want: {goldens[key]}"
+        )
+    else:
+        # first real-weight run pins the golden
+        goldens[key] = text
+        os.makedirs(os.path.dirname(GOLDENS), exist_ok=True)
+        with open(GOLDENS, "w", encoding="utf-8") as f:
+            json.dump(goldens, f, indent=2, ensure_ascii=False)

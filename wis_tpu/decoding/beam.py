@@ -37,6 +37,7 @@ from wis_tpu.models.whisper.model import (
     cross_kv,
     decode_step,
     encode,
+    layer_norm,
     prefill,
 )
 from wis_tpu.models.whisper.tokenizer import EOT
@@ -101,6 +102,7 @@ def build_generate_xa(
     length_penalty: float = 1.0,
     with_timestamps: bool = False,
     ancestry: bool = True,
+    fused: bool = False,
 ):
     """Return a jitted generate(params, xa_kv, prompt, token_cap) program.
 
@@ -125,12 +127,35 @@ def build_generate_xa(
     Removes the ~1.7 ms/step full-cache permutation measured on
     large-v2 (BENCH.md). False keeps the physical-reorder path (used by
     equivalence tests).
+
+    fused=True (single-sequence batches only): the per-token decode step
+    runs as ONE Pallas kernel over all layers (ops/fused_decode) — int8
+    weights auto-pipelined, cross-KV and the ancestry cache hand-DMA'd in
+    double-buffered head groups — removing the ~200-small-ops-per-layer
+    XLA overhead of the scanned step. The returned program takes an extra
+    `packed` argument (ops.fused_decode.pack_decoder of the same params).
+    The cache is kept in kernel layout (L, H, Dh, BK, T) with T padded to
+    a 128 multiple; prefill still runs the XLA decoder and the cache is
+    transposed once. Implies ancestry semantics.
     """
     from wis_tpu.models.whisper.tokenizer import NO_TIMESTAMPS, TIMESTAMP_BASE
 
     K, B = beam_size, batch
     BK = B * K
     cache_len = prompt_len + max_new_tokens
+    if fused:
+        if B != 1:
+            raise ValueError("fused decode supports single-sequence batches")
+        from wis_tpu.ops.fused_decode import build_fused_decode_step
+
+        # kernel DMA slices want a lane-aligned flat (beam, time) axis
+        cache_len = ((cache_len + 127) // 128) * 128
+        step_fn = build_fused_decode_step(
+            cfg, bk=BK, t_cache=cache_len, s_audio=cfg.n_audio_ctx
+        )
+        H = cfg.n_text_head
+        Dh = cfg.n_text_state // H
+        L = cfg.n_text_layer
     base_suppress = tuple(suppress_tokens)
     if with_timestamps:
         base_suppress = base_suppress + (NO_TIMESTAMPS,)
@@ -142,8 +167,7 @@ def build_generate_xa(
     begin_sup = jnp.asarray(_suppress_mask(cfg.n_vocab, begin_extra))
     is_ts_vec = jnp.arange(cfg.n_vocab) >= TIMESTAMP_BASE  # (V,)
 
-    @partial(jax.jit, donate_argnums=())
-    def generate(params, xa_kv, prompt, token_cap):
+    def _generate(params, packed, xa_kv, prompt, token_cap):
         dtype = params["decoder"]["tok_emb"].dtype
 
         # ---- prefill on batch B ---- #
@@ -160,11 +184,27 @@ def build_generate_xa(
         out = jnp.full((B, K, max_new_tokens), EOT, jnp.int32)
         out = out.at[:, :, 0].set(top_tok)
         finished0 = top_tok == EOT
-        cache_bk = DecoderCache(
-            jnp.repeat(cache0.k, K, axis=1),
-            jnp.repeat(cache0.v, K, axis=1),
-            cache0.pos,
-        )
+        if fused:
+            # kernel layout (L, H, Dh, BK, T): beams of a sequence are
+            # adjacent along the flat row axis (row = b*K + k)
+            cache_bk = DecoderCache(
+                jnp.repeat(cache0.k.transpose(0, 2, 3, 1, 4), K, axis=3),
+                jnp.repeat(cache0.v.transpose(0, 2, 3, 1, 4), K, axis=3),
+                cache0.pos,
+            )
+            # cross-KV minor axis zero-padded to tile alignment once per
+            # request (kernel masks the pad columns); hoisted out of the
+            # decode loop
+            s_pad = ((cfg.n_audio_ctx + 127) // 128) * 128
+            xa_pad = [(0, 0), (0, 0), (0, 0), (0, s_pad - cfg.n_audio_ctx)]
+            xa_k_f = jnp.pad(xa_kv[0][:, 0], xa_pad)
+            xa_v_f = jnp.pad(xa_kv[1][:, 0], xa_pad)
+        else:
+            cache_bk = DecoderCache(
+                jnp.repeat(cache0.k, K, axis=1),
+                jnp.repeat(cache0.v, K, axis=1),
+                cache0.pos,
+            )
         # ancestry: prompt positions live in each beam's own (replicated)
         # row; unwritten positions are -1 (masked)
         own_row = jnp.broadcast_to(
@@ -193,7 +233,60 @@ def build_generate_xa(
             )
 
         def body(s: _State) -> _State:
-            if ancestry:
+            if fused:
+                # sel from the PRE-update ancestry: the current position
+                # is still -1 (excluded) — the step's own K/V join the
+                # softmax through the kernel's explicit self column
+                sel = (
+                    jax.nn.one_hot(s.anc[0], K, dtype=jnp.float32)
+                    .swapaxes(-1, -2)
+                    .reshape(K, K * cache_len)
+                )
+                dec = params["decoder"]
+                x_emb = (
+                    jnp.take(dec["tok_emb"], s.tokens.reshape(BK), axis=0)
+                    .astype(jnp.float32)
+                    + jnp.take(dec["pos"], s.cache.pos, axis=0)
+                    .astype(jnp.float32)[None]
+                )
+                x_out, k_new, v_new = step_fn(
+                    packed,
+                    x_emb,
+                    s.cache.k.reshape(L, H, Dh, BK * cache_len),
+                    s.cache.v.reshape(L, H, Dh, BK * cache_len),
+                    xa_k_f,
+                    xa_v_f,
+                    sel,
+                )
+                # one in-place column write per step; rows never move
+                col = lambda a: a.transpose(0, 1, 3, 2)[..., None].astype(dtype)
+                cache = DecoderCache(
+                    jax.lax.dynamic_update_slice(
+                        s.cache.k, col(k_new), (0, 0, 0, 0, s.cache.pos)
+                    ),
+                    jax.lax.dynamic_update_slice(
+                        s.cache.v, col(v_new), (0, 0, 0, 0, s.cache.pos)
+                    ),
+                    s.cache.pos + 1,
+                )
+                xn = layer_norm(
+                    x_out, dec["ln"]["g"], dec["ln"]["b"]
+                ).astype(dtype)
+                logits = jnp.einsum(
+                    "bd,vd->bv",
+                    xn,
+                    dec["tok_emb"].astype(dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                anc = jax.lax.dynamic_update_index_in_dim(
+                    s.anc,
+                    jnp.broadcast_to(
+                        jnp.arange(K, dtype=jnp.int32)[None, :], (B, K)
+                    ),
+                    s.cache.pos,
+                    axis=2,
+                )
+            elif ancestry:
                 # this step writes position cache.pos in each beam's own
                 # physical row — record it before attention reads it
                 anc = jax.lax.dynamic_update_index_in_dim(
@@ -265,7 +358,7 @@ def build_generate_xa(
             out = jax.lax.dynamic_update_index_in_dim(
                 out, jnp.where(par_finished, EOT, tok), s.t, axis=2
             )
-            if ancestry:
+            if ancestry or fused:
                 # logical beams re-parent; physical rows never move —
                 # the ancestry map absorbs the permutation instead of
                 # two full-cache copies
@@ -314,6 +407,18 @@ def build_generate_xa(
         best = jnp.argmax(scores, axis=1).astype(jnp.int32)
         return GenerateResult(tokens=s.out, lengths=s.out_len, scores=scores, best=best)
 
+    if fused:
+
+        @partial(jax.jit, donate_argnums=())
+        def generate(params, packed, xa_kv, prompt, token_cap):
+            return _generate(params, packed, xa_kv, prompt, token_cap)
+
+    else:
+
+        @partial(jax.jit, donate_argnums=())
+        def generate(params, xa_kv, prompt, token_cap):
+            return _generate(params, None, xa_kv, prompt, token_cap)
+
     return generate
 
 
@@ -329,10 +434,12 @@ def build_generate(
     length_penalty: float = 1.0,
     with_timestamps: bool = False,
     ancestry: bool = True,
+    fused: bool = False,
 ):
     """End-to-end (params, mel, prompt, token_cap) → GenerateResult,
     composing build_encode + build_generate_xa (two device dispatches;
-    xa_kv never leaves the device)."""
+    xa_kv never leaves the device). With fused=True the signature gains
+    a leading `packed` argument after params (see build_generate_xa)."""
     encode_fn = build_encode(cfg)
     gen_fn = build_generate_xa(
         cfg,
@@ -345,10 +452,18 @@ def build_generate(
         length_penalty=length_penalty,
         with_timestamps=with_timestamps,
         ancestry=ancestry,
+        fused=fused,
     )
 
-    def generate(params, mel, prompt, token_cap):
-        return gen_fn(params, encode_fn(params, mel), prompt, token_cap)
+    if fused:
+
+        def generate(params, packed, mel, prompt, token_cap):
+            return gen_fn(params, packed, encode_fn(params, mel), prompt, token_cap)
+
+    else:
+
+        def generate(params, mel, prompt, token_cap):
+            return gen_fn(params, encode_fn(params, mel), prompt, token_cap)
 
     return generate
 

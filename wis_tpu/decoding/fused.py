@@ -49,6 +49,7 @@ def build_asr_program(
     translate: bool = False,
     length_penalty: float = 1.0,
     with_timestamps: bool = False,
+    fused_step: bool = False,
 ):
     """Return jitted asr(params, audio_i16 (B, n_samples), prompt (B, P),
     token_cap) → packed int32 (B, W) with W = K*max_new + K + 3, doubled
@@ -56,6 +57,10 @@ def build_asr_program(
 
     Audio crosses the PCIe/host boundary as int16 (the source bit depth —
     halves transfer size); scaling to float happens on device.
+
+    fused_step=True (batch-1 programs on TPU): the decode loop runs the
+    all-layers Pallas kernel (ops/fused_decode); the program then takes a
+    `packed` PackedDecoder argument right after `params`.
     """
     from wis_tpu.models.whisper.tokenizer import TRANSLATE
 
@@ -70,10 +75,10 @@ def build_asr_program(
         begin_suppress_tokens=begin_suppress_tokens,
         length_penalty=length_penalty,
         with_timestamps=with_timestamps,
+        fused=fused_step,
     )
 
-    @jax.jit
-    def asr(params, audio_i16, prompt, token_cap, detect_mask):
+    def _asr(params, packed_dec, audio_i16, prompt, token_cap, detect_mask):
         """detect_mask (B,) int32: rows where the detected language
         replaces the prompt's language token. Rows with a forced or
         default language keep theirs even when coalesced into a detect
@@ -108,13 +113,30 @@ def build_asr_program(
                 axis=1,
             )
 
-        packed = pack(gen(params, xa_kv, prompt, token_cap))
+        def run(p):
+            if fused_step:
+                return gen(params, packed_dec, xa_kv, p, token_cap)
+            return gen(params, xa_kv, p, token_cap)
+
+        packed = pack(run(prompt))
         if translate:
             tr_prompt = prompt.at[:, 2].set(TRANSLATE)
             packed = jnp.concatenate(
-                [packed, pack(gen(params, xa_kv, tr_prompt, token_cap))], axis=1
+                [packed, pack(run(tr_prompt))], axis=1
             )
         return packed
+
+    if fused_step:
+
+        @jax.jit
+        def asr(params, packed_dec, audio_i16, prompt, token_cap, detect_mask):
+            return _asr(params, packed_dec, audio_i16, prompt, token_cap, detect_mask)
+
+    else:
+
+        @jax.jit
+        def asr(params, audio_i16, prompt, token_cap, detect_mask):
+            return _asr(params, None, audio_i16, prompt, token_cap, detect_mask)
 
     return asr
 

@@ -10,11 +10,15 @@ softmax and layernorm hidden underneath it, and to eliminate the XLA
 per-op launch overhead of ~200 small ops per layer.
 
 Structure (measured on v5e: ~650 GB/s effective with this shape):
-- grid = (L, 14): weights packed as (L, 14, D, D) int8 chunks
-  [q k v | o | cq co | w1 x4 | w2 x4], auto-pipelined by Pallas with
-  double buffering (one 1.6 MB block in flight behind compute).
-- cross-KV and the self-attention cache stay in HBM (`pl.ANY`) and are
-  hand-DMA'd in head groups through 2-slot scratch, issued a group ahead.
+- grid = (L,): ONE grid step per layer; the 14 (D, D) int8 weight chunks
+  [q k v | o | cq co | w1 x4 | w2 x4] are hand-DMA'd through a 2-slot
+  VMEM scratch, each issued one chunk ahead of its consumer (the exact
+  pattern probe_stream.py measured at 643-657 GB/s — Pallas
+  auto-pipelining the same chunks as a (L, 14) grid measured ~8 ms/step
+  of per-grid-step overhead on 448 tiny steps).
+- cross-KV and the self-attention cache also stay in HBM (`pl.ANY`) and
+  are hand-DMA'd in head groups through 2-slot scratch, issued a group
+  ahead.
 - the self-attention cache is read with **ancestry indirection** (see
   model._self_attn_anc): each beam's history rows are selected by the
   `sel` mask at read time; the current token's K/V (computed this step,
@@ -145,13 +149,17 @@ def build_fused_decode_step(
     bk: int,
     t_cache: int,  # cache length, multiple of 128
     s_audio: int = 1500,
+    _skip: tuple = (),  # probe-only: {"w","cache","xa"} disable a stream
 ):
     """Return fn(packed, x_emb, k_cache, v_cache, xa_k, xa_v, sel)
       -> (x_out (BK, D) f32, k_new (L, H, BK, Dh) bf16, v_new ...)
 
     x_emb:   (BK, D) f32 — token+pos embedding for this step
     k/v_cache: (L, H, Dh, BK*T) bf16 — ancestry rows, flat (beam, time)
-    xa_k/xa_v: (L, H, Dh, S) bf16 — precomputed cross-attention K/V
+    xa_k/xa_v: (L, H, Dh, S_pad) bf16 — precomputed cross-attention K/V,
+             minor axis ZERO-PADDED to the next 128 multiple of s_audio
+             (hand-DMA slices of an HBM memref must be tile-aligned);
+             the kernel masks the pad columns out of the softmax
     sel:     (BK, BK*T) f32 — 1 where column (row p, pos s) belongs to
              the query beam's history (current pos excluded; the step's
              own K/V join via the in-kernel self column)
@@ -163,29 +171,36 @@ def build_fused_decode_step(
     F = 4 * D
     assert F == 4 * D
     BKT = bk * t_cache
+    assert BKT % 128 == 0, "bk * t_cache must be lane-aligned"
+    s_pad = ((s_audio + 127) // 128) * 128
     scale = Dh**-0.5
 
     # head-group sizes: keep each slice ≤ ~1 MB so 2-slot double buffers
     # for K,V (cache) and K,V (cross) fit well under the ~15 MB VMEM
     g_c = _pick_groups(H, Dh * BKT, 1 << 20)
-    g_x = _pick_groups(H, Dh * s_audio, 1 << 20)
+    g_x = _pick_groups(H, Dh * s_pad, 1 << 20)
     ng_c = H // g_c
     ng_x = H // g_x
 
     def kernel(
         # blocked inputs
-        w_ref, s_ref, b_ref, ln_ref, x_in, sel_ref,
+        s_ref, b_ref, ln_ref, x_in, sel_ref,
         # ANY (HBM) inputs
-        kc_hbm, vc_hbm, xak_hbm, xav_hbm,
+        w_hbm, kc_hbm, vc_hbm, xak_hbm, xav_hbm,
         # outputs
         x_out, knew_out, vnew_out,
         # scratch
         x, h, qkv, attn, ctx, gbuf, yacc,
-        kbuf, vbuf, xakbuf, xavbuf,
-        ksem, vsem, xaksem, xavsem,
+        wbuf, kbuf, vbuf, xakbuf, xavbuf,
+        wsem, ksem, vsem, xaksem, xavsem,
     ):
         l = pl.program_id(0)
-        c = pl.program_id(1)
+
+        def wdma(g, slot):
+            li, ci = g // NC, g % NC
+            return pltpu.make_async_copy(
+                w_hbm.at[li, ci], wbuf.at[slot], wsem.at[slot]
+            )
 
         def kdma(grp, slot):
             li, gi = grp // ng_c, grp % ng_c
@@ -213,197 +228,203 @@ def build_fused_decode_step(
                 xavsem.at[slot],
             )
 
-        wchunk = w_ref[0, 0]  # (D, D) int8
-        schunk = s_ref[0, 0, 0]  # (D,) f32
-        bchunk = b_ref[0, 0, 0]  # (D,) f32
+        @pl.when(l == 0)
+        def _():
+            x[:] = x_in[:]
+            # prime every DMA pipeline: weight chunk 0 (chunk c+1 is
+            # issued by chunk c's consumer below), cache/cross group 0
+            if "w" not in _skip:
+                wdma(0, 0).start()
+            if "cache" not in _skip:
+                kdma(0, 0).start()
+                vdma(0, 0).start()
+            if "xa" not in _skip:
+                xakdma(0, 0).start()
+                xavdma(0, 0).start()
 
-        def wdot(src_bf16):
+        # one grid step runs all 14 chunk stages of a layer in sequence;
+        # use_w streams each 1.6 MB int8 chunk through the 2-slot scratch
+        # issuing one chunk ahead (probe_stream.py pattern: 643-657 GB/s)
+        def use_w(c):
+            if "w" in _skip:
+                return None, s_ref[0, c, 0], b_ref[0, c, 0]
+            g = l * NC + c
+            nxt = g + 1
+
+            @pl.when(nxt < L * NC)
+            def _():
+                wdma(nxt, nxt % 2).start()
+
+            wdma(g, g % 2).wait()
+            return wbuf[g % 2], s_ref[0, c, 0], b_ref[0, c, 0]
+
+        def wdot(src_bf16, c):
+            wchunk, schunk, bchunk = use_w(c)
+            if wchunk is None:  # probe: weights stream disabled
+                return src_bf16.astype(jnp.float32) * schunk[None, :] + bchunk[None, :]
             y = jnp.dot(
                 src_bf16, wchunk.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
             return y * schunk[None, :] + bchunk[None, :]
 
-        # ---------------- stage 0: LN1 + q projection ---------------- #
-        @pl.when(c == QW)
-        def _():
-            @pl.when(l == 0)
+        # ---------------- LN1 + q/k/v projections -------------------- #
+        h[:] = _ln(x[:], ln_ref[0, 0], ln_ref[0, 1]).astype(jnp.bfloat16)
+        qkv[:, 0:D] = wdot(h[:], QW)
+        qkv[:, D : 2 * D] = wdot(h[:], KW)
+        for hh in range(H):
+            knew_out[0, hh] = (
+                qkv[:, D + hh * Dh : D + (hh + 1) * Dh]
+            ).astype(jnp.bfloat16)
+        qkv[:, 2 * D : 3 * D] = wdot(h[:], VW)
+        for hh in range(H):
+            vnew_out[0, hh] = (
+                qkv[:, 2 * D + hh * Dh : 2 * D + (hh + 1) * Dh]
+            ).astype(jnp.bfloat16)
+
+        # ------------- self-attention + o projection ----------------- #
+        sel = sel_ref[:]  # (BK, BKT) f32
+        for grp in range(ng_c if "cache" not in _skip else 0):
+            # slots are indexed by the GLOBAL group counter so issue
+            # and wait sides agree across layer boundaries
+            gslot = (l * ng_c + grp) % 2
+            nxt_g = l * ng_c + grp + 1
+
+            @pl.when(nxt_g < (L * ng_c))
             def _():
-                x[:] = x_in[:]
-                # prime the cache/cross DMA pipelines for this layer
-                kdma(0, 0).start()
-                vdma(0, 0).start()
-                xakdma(0, 0).start()
-                xavdma(0, 0).start()
+                kdma(nxt_g, nxt_g % 2).start()
+                vdma(nxt_g, nxt_g % 2).start()
 
-            h[:] = _ln(x[:], ln_ref[0, 0], ln_ref[0, 1]).astype(jnp.bfloat16)
-            qkv[:, 0:D] = wdot(h[:])
-
-        @pl.when(c == KW)
-        def _():
-            qkv[:, D : 2 * D] = wdot(h[:])
-            for hh in range(H):
-                knew_out[0, hh] = (
-                    qkv[:, D + hh * Dh : D + (hh + 1) * Dh]
-                ).astype(jnp.bfloat16)
-
-        @pl.when(c == VW)
-        def _():
-            qkv[:, 2 * D : 3 * D] = wdot(h[:])
-            for hh in range(H):
-                vnew_out[0, hh] = (
-                    qkv[:, 2 * D + hh * Dh : 2 * D + (hh + 1) * Dh]
-                ).astype(jnp.bfloat16)
-
-        # ------------- stage 3: self-attention + o projection -------- #
-        @pl.when(c == OW)
-        def _():
-            sel = sel_ref[:]  # (BK, BKT) f32
-            for grp in range(ng_c):
-                # slots are indexed by the GLOBAL group counter so issue
-                # and wait sides agree across layer boundaries
-                gslot = (l * ng_c + grp) % 2
-                nxt_g = l * ng_c + grp + 1
-
-                @pl.when(nxt_g < (L * ng_c))
-                def _():
-                    kdma(nxt_g, nxt_g % 2).start()
-                    vdma(nxt_g, nxt_g % 2).start()
-
-                kdma(l * ng_c + grp, gslot).wait()
-                vdma(l * ng_c + grp, gslot).wait()
-                for hl in range(g_c):
-                    hh = grp * g_c + hl
-                    q_h = qkv[:, hh * Dh : (hh + 1) * Dh]  # (BK, Dh) f32
-                    k_h = qkv[:, D + hh * Dh : D + (hh + 1) * Dh]
-                    v_h = qkv[:, 2 * D + hh * Dh : 2 * D + (hh + 1) * Dh]
-                    scores = (
-                        jnp.dot(
-                            q_h.astype(jnp.bfloat16),
-                            kbuf[gslot, hl],
-                            preferred_element_type=jnp.float32,
-                        )
-                        * scale
-                    )  # (BK, BKT)
-                    scores = jnp.where(sel > 0, scores, NEG)
-                    s_self = jnp.sum(q_h * k_h, axis=1, keepdims=True) * scale
-                    m = jnp.maximum(
-                        jnp.max(scores, axis=1, keepdims=True), s_self
-                    )
-                    e = jnp.exp(scores - m)
-                    e_self = jnp.exp(s_self - m)  # (BK, 1)
-                    denom = jnp.sum(e, axis=1, keepdims=True) + e_self
-                    out_h = jax.lax.dot_general(
-                        e.astype(jnp.bfloat16),
-                        vbuf[gslot, hl],
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (BK, Dh)
-                    out_h = (out_h + e_self * v_h) / denom
-                    attn[:, hh * Dh : (hh + 1) * Dh] = out_h
-            x[:] = x[:] + wdot(attn[:].astype(jnp.bfloat16))
-            h[:] = _ln(x[:], ln_ref[0, 2], ln_ref[0, 3]).astype(jnp.bfloat16)
-
-        # ------------- stage 4: cross-q projection ------------------- #
-        @pl.when(c == CQW)
-        def _():
-            qkv[:, 0:D] = wdot(h[:])
-
-        # ------------- stage 5: cross-attention + o projection ------- #
-        @pl.when(c == COW)
-        def _():
-            for grp in range(ng_x):
-                gslot = (l * ng_x + grp) % 2
-                nxt_g = l * ng_x + grp + 1
-
-                @pl.when(nxt_g < (L * ng_x))
-                def _():
-                    xakdma(nxt_g, nxt_g % 2).start()
-                    xavdma(nxt_g, nxt_g % 2).start()
-
-                xakdma(l * ng_x + grp, gslot).wait()
-                xavdma(l * ng_x + grp, gslot).wait()
-                for hl in range(g_x):
-                    hh = grp * g_x + hl
-                    q_h = qkv[:, hh * Dh : (hh + 1) * Dh]
-                    scores = (
-                        jnp.dot(
-                            q_h.astype(jnp.bfloat16),
-                            xakbuf[gslot, hl],
-                            preferred_element_type=jnp.float32,
-                        )
-                        * scale
-                    )  # (BK, S)
-                    w_att = jax.nn.softmax(scores, axis=-1)
-                    ctx_h = jax.lax.dot_general(
-                        w_att.astype(jnp.bfloat16),
-                        xavbuf[gslot, hl],
-                        dimension_numbers=(((1,), (1,)), ((), ())),
+            kdma(l * ng_c + grp, gslot).wait()
+            vdma(l * ng_c + grp, gslot).wait()
+            for hl in range(g_c):
+                hh = grp * g_c + hl
+                q_h = qkv[:, hh * Dh : (hh + 1) * Dh]  # (BK, Dh) f32
+                k_h = qkv[:, D + hh * Dh : D + (hh + 1) * Dh]
+                v_h = qkv[:, 2 * D + hh * Dh : 2 * D + (hh + 1) * Dh]
+                scores = (
+                    jnp.dot(
+                        q_h.astype(jnp.bfloat16),
+                        kbuf[gslot, hl],
                         preferred_element_type=jnp.float32,
                     )
-                    ctx[:, hh * Dh : (hh + 1) * Dh] = ctx_h
-            x[:] = x[:] + wdot(ctx[:].astype(jnp.bfloat16))
-            h[:] = _ln(x[:], ln_ref[0, 4], ln_ref[0, 5]).astype(jnp.bfloat16)
+                    * scale
+                )  # (BK, BKT)
+                scores = jnp.where(sel > 0, scores, NEG)
+                s_self = jnp.sum(q_h * k_h, axis=1, keepdims=True) * scale
+                m = jnp.maximum(
+                    jnp.max(scores, axis=1, keepdims=True), s_self
+                )
+                e = jnp.exp(scores - m)
+                e_self = jnp.exp(s_self - m)  # (BK, 1)
+                denom = jnp.sum(e, axis=1, keepdims=True) + e_self
+                out_h = jax.lax.dot_general(
+                    e.astype(jnp.bfloat16),
+                    vbuf[gslot, hl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (BK, Dh)
+                out_h = (out_h + e_self * v_h) / denom
+                attn[:, hh * Dh : (hh + 1) * Dh] = out_h
+        x[:] = x[:] + wdot(attn[:].astype(jnp.bfloat16), OW)
+        h[:] = _ln(x[:], ln_ref[0, 2], ln_ref[0, 3]).astype(jnp.bfloat16)
 
-        # ------------- stages 6-9: mlp up-projection chunks ---------- #
-        for i in range(4):
-            @pl.when(c == W1_0 + i)
-            def _(i=i):
-                # Mosaic has no erf/erfc lowering: tanh-approx gelu
-                # (max |diff| vs exact ~3e-3 — inside int8 quant noise)
-                gbuf[:, i * D : (i + 1) * D] = jax.nn.gelu(
-                    wdot(h[:]), approximate=True
-                ).astype(jnp.bfloat16)
+        # ------------- cross-attention + o projection ---------------- #
+        qkv[:, 0:D] = wdot(h[:], CQW)
+        for grp in range(ng_x if "xa" not in _skip else 0):
+            gslot = (l * ng_x + grp) % 2
+            nxt_g = l * ng_x + grp + 1
 
-        # ------------- stages 10-13: mlp down-projection chunks ------ #
+            @pl.when(nxt_g < (L * ng_x))
+            def _():
+                xakdma(nxt_g, nxt_g % 2).start()
+                xavdma(nxt_g, nxt_g % 2).start()
+
+            xakdma(l * ng_x + grp, gslot).wait()
+            xavdma(l * ng_x + grp, gslot).wait()
+            for hl in range(g_x):
+                hh = grp * g_x + hl
+                q_h = qkv[:, hh * Dh : (hh + 1) * Dh]
+                scores = (
+                    jnp.dot(
+                        q_h.astype(jnp.bfloat16),
+                        xakbuf[gslot, hl],
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                )  # (BK, S_pad)
+                if s_pad != s_audio:
+                    col = jax.lax.broadcasted_iota(
+                        jnp.int32, (bk, s_pad), 1
+                    )
+                    scores = jnp.where(col < s_audio, scores, NEG)
+                w_att = jax.nn.softmax(scores, axis=-1)
+                ctx_h = jax.lax.dot_general(
+                    w_att.astype(jnp.bfloat16),
+                    xavbuf[gslot, hl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                ctx[:, hh * Dh : (hh + 1) * Dh] = ctx_h
+        x[:] = x[:] + wdot(ctx[:].astype(jnp.bfloat16), COW)
+        h[:] = _ln(x[:], ln_ref[0, 4], ln_ref[0, 5]).astype(jnp.bfloat16)
+
+        # ------------- mlp up-projection chunks ---------------------- #
         for i in range(4):
-            @pl.when(c == W2_0 + i)
-            def _(i=i):
+            # Mosaic has no erf/erfc lowering: tanh-approx gelu
+            # (max |diff| vs exact ~3e-3 — inside int8 quant noise)
+            gbuf[:, i * D : (i + 1) * D] = jax.nn.gelu(
+                wdot(h[:], W1_0 + i), approximate=True
+            ).astype(jnp.bfloat16)
+
+        # ------------- mlp down-projection chunks -------------------- #
+        for i in range(4):
+            wchunk, schunk, bchunk = use_w(W2_0 + i)
+            if wchunk is None:  # probe: weights stream disabled
+                part = gbuf[:, i * D : (i + 1) * D].astype(jnp.float32)
+            else:
                 part = jnp.dot(
                     gbuf[:, i * D : (i + 1) * D],
                     wchunk.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32,
                 )
-                if i == 0:
-                    yacc[:] = part
-                else:
-                    yacc[:] = yacc[:] + part
+            if i == 0:
+                yacc[:] = part
+            else:
+                yacc[:] = yacc[:] + part
+            if i == 3:
+                x[:] = x[:] + yacc[:] * schunk[None, :] + bchunk[None, :]
 
-        @pl.when(c == W2_0 + 3)
+        @pl.when(l == L - 1)
         def _():
-            x[:] = x[:] + yacc[:] * schunk[None, :] + bchunk[None, :]
-
-            @pl.when(l == L - 1)
-            def _():
-                x_out[:] = x[:]
+            x_out[:] = x[:]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(L, NC),
+        grid=(L,),
         in_specs=[
-            pl.BlockSpec((1, 1, D, D), lambda l, c: (l, c, 0, 0),
+            pl.BlockSpec((1, NC, 1, D), lambda l: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, D), lambda l, c: (l, c, 0, 0),
+            pl.BlockSpec((1, NC, 1, D), lambda l: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, D), lambda l, c: (l, c, 0, 0),
+            pl.BlockSpec((1, 6, D), lambda l: (l, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6, D), lambda l, c: (l, 0, 0),
+            pl.BlockSpec((bk, D), lambda l: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, D), lambda l, c: (0, 0),
+            pl.BlockSpec((bk, BKT), lambda l: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, BKT), lambda l, c: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((bk, D), lambda l, c: (0, 0),
+            pl.BlockSpec((bk, D), lambda l: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, bk, Dh), lambda l, c: (l, 0, 0, 0),
+            pl.BlockSpec((1, H, bk, Dh), lambda l: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, bk, Dh), lambda l, c: (l, 0, 0, 0),
+            pl.BlockSpec((1, H, bk, Dh), lambda l: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -414,10 +435,12 @@ def build_fused_decode_step(
             pltpu.VMEM((bk, D), jnp.float32),      # ctx
             pltpu.VMEM((bk, F), jnp.bfloat16),     # gbuf
             pltpu.VMEM((bk, D), jnp.float32),      # yacc
+            pltpu.VMEM((2, D, D), jnp.int8),       # wbuf
             pltpu.VMEM((2, g_c, Dh, BKT), jnp.bfloat16),      # kbuf
             pltpu.VMEM((2, g_c, Dh, BKT), jnp.bfloat16),      # vbuf
-            pltpu.VMEM((2, g_x, Dh, s_audio), jnp.bfloat16),  # xakbuf
-            pltpu.VMEM((2, g_x, Dh, s_audio), jnp.bfloat16),  # xavbuf
+            pltpu.VMEM((2, g_x, Dh, s_pad), jnp.bfloat16),  # xakbuf
+            pltpu.VMEM((2, g_x, Dh, s_pad), jnp.bfloat16),  # xavbuf
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -439,8 +462,8 @@ def build_fused_decode_step(
 
     def step(packed: PackedDecoder, x_emb, k_cache, v_cache, xa_k, xa_v, sel):
         return call(
-            packed.w, packed.s, packed.b, packed.ln,
-            x_emb, sel, k_cache, v_cache, xa_k, xa_v,
+            packed.s, packed.b, packed.ln, x_emb, sel,
+            packed.w, k_cache, v_cache, xa_k, xa_v,
         )
 
     return step

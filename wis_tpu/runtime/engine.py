@@ -99,19 +99,36 @@ class WhisperEngine:
     # ------------------------------------------------------------------ #
     # Program cache
     # ------------------------------------------------------------------ #
+    def _use_fused(self, batch: int) -> bool:
+        """Single-kernel Pallas decode step (ops/fused_decode): "auto"
+        enables it on TPU for batch-1 programs (the latency path); "on"
+        forces it anywhere batch == 1 (CPU runs in interpret mode — used
+        by tests); "off" disables."""
+        mode = getattr(self.settings, "fused_decode", "auto")
+        if mode == "off" or batch != 1:
+            return False
+        if mode == "on":
+            return True
+        import jax
+
+        return jax.default_backend() == "tpu"
+
     def _program(self, model: LoadedModel, *, beam: int, batch: int,
                  prompt_len: int, detect: bool, translate: bool,
                  timestamps: bool = False, max_new: Optional[int] = None):
+        """Returns (program, fused): fused programs take a PackedDecoder
+        right after params."""
         max_new = max_new or self.settings.max_decode_tokens
+        fused = self._use_fused(batch)
         key = (model.name, beam, batch, prompt_len, detect, translate,
-               timestamps, max_new)
+               timestamps, max_new, fused)
         prog = self._programs.get(key)
         if prog is not None:
-            return prog
+            return prog, fused
         with self._compile_lock:
             prog = self._programs.get(key)
             if prog is not None:
-                return prog
+                return prog, fused
             tok = model.tokenizer
             prog = build_asr_program(
                 model.cfg,
@@ -124,9 +141,24 @@ class WhisperEngine:
                 detect_language=detect,
                 translate=translate,
                 with_timestamps=timestamps,
+                fused_step=fused,
             )
             self._programs[key] = prog
-            return prog
+            return prog, fused
+
+    def _packed_decoder(self, model: LoadedModel):
+        """Kernel-layout decoder weights, repacked once per model (HBM
+        cost ≈ the decoder's int8 bytes again; the XLA paths — prefill,
+        encoder, detect — still read the original tree)."""
+        if model.packed is None:
+            import jax
+
+            from wis_tpu.ops.fused_decode import pack_decoder
+
+            model.packed = jax.jit(
+                lambda p: pack_decoder(p, model.cfg)
+            )(model.params)
+        return model.packed
 
     def _bucket(self, n: int) -> int:
         for b in self.settings.batch_bucket_list():
@@ -229,7 +261,7 @@ class WhisperEngine:
             g_detect = detect and (per_window_detect or start == 0)
             if resolved_lang_tok is not None and not per_window_detect:
                 g_prompts[:, 1] = resolved_lang_tok
-            prog = self._program(
+            prog, prog_fused = self._program(
                 loaded,
                 beam=beam,
                 batch=bucket,
@@ -239,10 +271,13 @@ class WhisperEngine:
                 timestamps=timestamps,
                 max_new=max_new,
             )
+            args = [loaded.params]
+            if prog_fused:
+                args.append(self._packed_decoder(loaded))
             with timer.span("asr_dispatch", trace=True):
                 packed = np.asarray(
                     prog(
-                        loaded.params,
+                        *args,
                         jnp.asarray(g_audio),
                         jnp.asarray(g_prompts),
                         jnp.int32(token_cap),

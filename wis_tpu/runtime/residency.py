@@ -45,6 +45,9 @@ class LoadedModel:
     params: Dict
     tokenizer: WhisperTokenizer
     param_bytes: int
+    #: kernel-layout decoder weights for the fused decode step
+    #: (ops/fused_decode.pack_decoder) — filled lazily by the engine
+    packed: object = None
 
 
 class ModelRegistry:

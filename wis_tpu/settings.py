@@ -148,6 +148,12 @@ class APISettings(BaseModel):
     replica_pool: str = "auto"
     #: max concurrent compiled programs kept hot per model
     compile_cache_max: int = 32
+    #: all-layers-in-one-kernel Pallas decode step for batch-1 programs:
+    #: "auto" (on TPU) | "on" (anywhere — CPU interprets; tests) | "off".
+    #: Default off: the kernel is numerically validated but currently
+    #: slower than the XLA ancestry path on v5e (BENCH.md) — flip to
+    #: "auto" once the measured per-step time beats it.
+    fused_decode: str = "off"
 
     #: TTS speaker-latent store directory (reference xtts/main.py:185-198)
     xtts_speaker_dir: str = "speakers/xtts"
