@@ -69,3 +69,20 @@ async function stop() {
 
 document.getElementById("start").onclick = start;
 document.getElementById("stop").onclick = stop;
+
+// Hands-free recording from a WebHID dictation device (SpeechMike /
+// PowerMic / foot control — hid.js; reference dict.js:239-435): the
+// RECORD button starts capture on press and transcribes on release.
+const hidLog = (m) => {
+  document.getElementById("meta").textContent = m;
+};
+const hid = new DictationDeviceManager(
+  (recording) => (recording ? start() : stop()),
+  hidLog
+);
+if (hid.available()) {
+  hid.init();
+  document.getElementById("pair").onclick = () => hid.requestDevice();
+} else {
+  document.getElementById("pair").disabled = true;
+}

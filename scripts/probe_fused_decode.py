@@ -44,19 +44,23 @@ def micro():
     params = quantize_whisper_params(random_params(cfg, seed=0, dtype=jnp.bfloat16))
     packed = pack_decoder(params, cfg)
     x_emb = jnp.asarray(rng.standard_normal((BK, D)) * 0.3, jnp.float32)
-    kc = jnp.asarray(rng.standard_normal((L, H, Dh, BK * T)) * 0.3, jnp.bfloat16)
-    vc = jnp.asarray(rng.standard_normal((L, H, Dh, BK * T)) * 0.3, jnp.bfloat16)
+    kc = jnp.asarray(rng.standard_normal((L, D, BK * T)) * 0.3, jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((L, D, BK * T)) * 0.3, jnp.bfloat16)
     xak = jnp.asarray(rng.standard_normal((L, H, Dh, S)) * 0.3, jnp.bfloat16)
     xav = jnp.asarray(rng.standard_normal((L, H, Dh, S)) * 0.3, jnp.bfloat16)
-    sel = np.zeros((BK, BK, T), np.float32)
-    sel[:, :, :9] = np.eye(BK)[:, :, None]
+    sel = np.zeros((BK, T, BK), np.float32)  # time-major flat columns
+    sel[:, :9] = np.eye(BK)[:, None, :]
     sel = jnp.asarray(sel.reshape(BK, BK * T))
 
     step = build_fused_decode_step(cfg, bk=BK, t_cache=T, s_audio=S)
-    x_out, k_new, v_new = jax.jit(step)(packed, x_emb, kc, vc, xak, xav, sel)
+    x_out, k_new, v_new, _, _ = jax.jit(step)(
+        packed, x_emb, kc, vc, xak, xav, sel
+    )
     x_ref, k_ref, v_ref = fused_decode_step_reference(
         cfg, packed, x_emb, kc, vc, xak, xav, sel
     )
+    k_ref = k_ref.transpose(0, 2, 1, 3).reshape(L, BK, D)
+    v_ref = v_ref.transpose(0, 2, 1, 3).reshape(L, BK, D)
     for name, a, b in (("x", x_out, x_ref), ("k", k_new, k_ref), ("v", v_new, v_ref)):
         a = np.asarray(a, np.float32)
         b = np.asarray(b, np.float32)
@@ -82,8 +86,8 @@ def timeit(t_cache=128, steps=16, bk=5):
     emb = params["decoder"]["tok_emb"]
     pos_emb = params["decoder"]["pos"]
 
-    kc = jnp.zeros((L, H, Dh, K, t_cache), jnp.bfloat16)
-    vc = jnp.zeros((L, H, Dh, K, t_cache), jnp.bfloat16)
+    kc = jnp.zeros((L, D, K * t_cache), jnp.bfloat16)
+    vc = jnp.zeros((L, D, K * t_cache), jnp.bfloat16)
     s_pad = ((S + 127) // 128) * 128  # kernel wants tile-aligned xa
     xak = jnp.asarray(
         np.pad(rng.standard_normal((L, H, Dh, S)) * 0.1, [(0, 0)] * 3 + [(0, s_pad - S)]),
@@ -111,22 +115,17 @@ def timeit(t_cache=128, steps=16, bk=5):
                 jnp.take(emb, tok, axis=0).astype(jnp.float32)
                 + pos_emb[pos].astype(jnp.float32)[None]
             )
-            sel = (
-                jax.nn.one_hot(anc, K, dtype=jnp.float32)
-                .swapaxes(-1, -2)
-                .reshape(K, K * t_cache)
+            sel = jax.nn.one_hot(anc, K, dtype=jnp.float32).reshape(
+                K, K * t_cache
             )
-            x_out, k_new, v_new = step(
-                packed, x_emb,
-                kc.reshape(L, H, Dh, K * t_cache),
-                vc.reshape(L, H, Dh, K * t_cache),
-                xak, xav, sel,
+            x_out, k_new, v_new, kc, vc = step(
+                packed, x_emb, kc, vc, xak, xav, sel
             )
             kc = jax.lax.dynamic_update_slice(
-                kc, k_new.swapaxes(2, 3)[..., None], (0, 0, 0, 0, pos)
+                kc, k_new.transpose(0, 2, 1), (0, 0, pos * K)
             )
             vc = jax.lax.dynamic_update_slice(
-                vc, v_new.swapaxes(2, 3)[..., None], (0, 0, 0, 0, pos)
+                vc, v_new.transpose(0, 2, 1), (0, 0, pos * K)
             )
             xn = (
                 (x_out - jnp.mean(x_out, -1, keepdims=True))
@@ -182,12 +181,12 @@ def parts(t_cache=128, steps=16, bk=5):
     rng = np.random.default_rng(0)
     params = quantize_whisper_params(random_params(cfg, seed=0, dtype=jnp.bfloat16))
     packed = pack_decoder(params, cfg)
-    kc = jnp.asarray(rng.standard_normal((L, H, Dh, K * t_cache)) * 0.1, jnp.bfloat16)
-    vc = jnp.asarray(rng.standard_normal((L, H, Dh, K * t_cache)) * 0.1, jnp.bfloat16)
+    kc = jnp.asarray(rng.standard_normal((L, D, K * t_cache)) * 0.1, jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((L, D, K * t_cache)) * 0.1, jnp.bfloat16)
     xak = jnp.asarray(rng.standard_normal((L, H, Dh, s_pad)) * 0.1, jnp.bfloat16)
     xav = jnp.asarray(rng.standard_normal((L, H, Dh, s_pad)) * 0.1, jnp.bfloat16)
-    sel = np.zeros((K, K, t_cache), np.float32)
-    sel[:, :, :8] = np.eye(K)[:, :, None]
+    sel = np.zeros((K, t_cache, K), np.float32)  # time-major
+    sel[:, :8] = np.eye(K)[:, None, :]
     sel = jnp.asarray(sel.reshape(K, K * t_cache))
     x0 = jnp.asarray(rng.standard_normal((K, D)) * 0.1, jnp.float32)
 
@@ -198,17 +197,22 @@ def parts(t_cache=128, steps=16, bk=5):
 
         @jax.jit
         def run(packed, x0, kc, vc, xak, xav, sel):
-            def body(x, _):
-                x_out, k_new, v_new = step(packed, x, kc, vc, xak, xav, sel)
-                # keep outputs alive; renormalize so values stay finite
+            def body(carry, _):
+                x, kc, vc, pos = carry
+                x_out, k_new, v_new, kc, vc = step(
+                    packed, x, kc, vc, xak, xav, sel
+                )
+                # renormalize so values stay finite across steps
                 x_next = (
                     x_out * jax.lax.rsqrt(jnp.mean(x_out * x_out) + 1e-6)
                     + jnp.sum(k_new).astype(jnp.float32) * 1e-9
                     + jnp.sum(v_new).astype(jnp.float32) * 1e-9
                 )
-                return x_next, ()
+                return (x_next, kc, vc, pos + 1), ()
 
-            x, _ = jax.lax.scan(body, x0, None, length=steps)
+            (x, kc, vc, _), _ = jax.lax.scan(
+                body, (x0, kc, vc, jnp.int32(8)), None, length=steps
+            )
             return x
 
         t0 = time.perf_counter()
@@ -230,7 +234,8 @@ def parts(t_cache=128, steps=16, bk=5):
 
 def glue(t_cache=128, steps=16, bk=5):
     """Adds the beam-glue components one at a time onto the bare-kernel
-    scan to find which one costs ~9 ms/step (timeit vs parts gap)."""
+    scan (caches flow through the kernel's aliased outputs — there is no
+    XLA-side cache op to measure anymore)."""
     cfg = WHISPER_CONFIGS["large-v2"]
     D, H = cfg.n_text_state, cfg.n_text_head
     Dh = D // H
@@ -243,26 +248,24 @@ def glue(t_cache=128, steps=16, bk=5):
     packed = pack_decoder(params, cfg)
     emb = params["decoder"]["tok_emb"]
     pos_emb = params["decoder"]["pos"]
-    kc0 = jnp.zeros((L, H, Dh, K, t_cache), jnp.bfloat16)
-    vc0 = jnp.zeros((L, H, Dh, K, t_cache), jnp.bfloat16)
+    kc0 = jnp.zeros((L, D, K * t_cache), jnp.bfloat16)
+    vc0 = jnp.zeros((L, D, K * t_cache), jnp.bfloat16)
     xak = jnp.asarray(rng.standard_normal((L, H, Dh, s_pad)) * 0.1, jnp.bfloat16)
     xav = jnp.asarray(rng.standard_normal((L, H, Dh, s_pad)) * 0.1, jnp.bfloat16)
-    sel0 = np.zeros((K, K, t_cache), np.float32)
-    sel0[:, :, :8] = np.eye(K)[:, :, None]
+    sel0 = np.zeros((K, t_cache, K), np.float32)  # time-major
+    sel0[:, :8] = np.eye(K)[:, None, :]
     sel0 = jnp.asarray(sel0.reshape(K, K * t_cache))
     x0 = jnp.asarray(rng.standard_normal((K, D)) * 0.1, jnp.float32)
     step = build_fused_decode_step(cfg, bk=K, t_cache=t_cache, s_audio=S)
 
-    def make(cache_upd=False, selanc=False, embed=False, logits=False):
+    def make(dus=False, selanc=False, embed=False, logits=False):
         @jax.jit
         def run(packed, x0, kc, vc, xak, xav, sel):
             def body(carry, _):
                 x, kc, vc, anc, tok, pos = carry
                 if selanc:
-                    sel_t = (
-                        jax.nn.one_hot(anc, K, dtype=jnp.float32)
-                        .swapaxes(-1, -2)
-                        .reshape(K, K * t_cache)
+                    sel_t = jax.nn.one_hot(anc, K, dtype=jnp.float32).reshape(
+                        K, K * t_cache
                     )
                 else:
                     sel_t = sel
@@ -273,18 +276,21 @@ def glue(t_cache=128, steps=16, bk=5):
                     )
                 else:
                     x_in = x
-                x_out, k_new, v_new = step(
-                    packed, x_in,
-                    kc.reshape(L, H, Dh, K * t_cache),
-                    vc.reshape(L, H, Dh, K * t_cache),
-                    xak, xav, sel_t,
+                x_out, k_new, v_new, kc, vc = step(
+                    packed, x_in, kc, vc, xak, xav, sel_t
                 )
-                if cache_upd:
+                if dus:
                     kc = jax.lax.dynamic_update_slice(
-                        kc, k_new.swapaxes(2, 3)[..., None], (0, 0, 0, 0, pos)
+                        kc, k_new.transpose(0, 2, 1), (0, 0, pos * K)
                     )
                     vc = jax.lax.dynamic_update_slice(
-                        vc, v_new.swapaxes(2, 3)[..., None], (0, 0, 0, 0, pos)
+                        vc, v_new.transpose(0, 2, 1), (0, 0, pos * K)
+                    )
+                else:
+                    x_out = (
+                        x_out
+                        + jnp.sum(k_new).astype(jnp.float32) * 1e-9
+                        + jnp.sum(v_new).astype(jnp.float32) * 1e-9
                     )
                 if logits:
                     xn = x_out * jax.lax.rsqrt(
@@ -325,10 +331,10 @@ def glue(t_cache=128, steps=16, bk=5):
 
     variants = [
         ("bare", {}),
-        ("+cache_upd", dict(cache_upd=True)),
-        ("+selanc", dict(cache_upd=True, selanc=True)),
-        ("+embed", dict(cache_upd=True, selanc=True, embed=True)),
-        ("+logits(all)", dict(cache_upd=True, selanc=True, embed=True, logits=True)),
+        ("+dus", dict(dus=True)),
+        ("+selanc", dict(dus=True, selanc=True)),
+        ("+embed", dict(dus=True, selanc=True, embed=True)),
+        ("+logits(all)", dict(dus=True, selanc=True, embed=True, logits=True)),
     ]
     for name, kwargs in variants:
         run = make(**kwargs)

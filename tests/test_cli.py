@@ -42,6 +42,48 @@ def test_gen_auth_writes_map(tmp_path, monkeypatch):
     assert "sekrit" in out and "%%API_KEY%%" not in out
 
 
+def test_gen_auth_basic_toggle(tmp_path, monkeypatch):
+    """--basic renders the basic-auth template with a realm; default
+    renders `off` (reference nginx/auth-basic.conf.template)."""
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "nginx").mkdir()
+    (tmp_path / "nginx" / "auth.conf.template").write_text('"%%API_KEY%%"\n')
+    (tmp_path / "nginx" / "auth-basic.conf.template").write_text(
+        "auth_basic %%AUTH_BASIC%%;\n"
+    )
+    wisctl.main(["gen-auth", "k"])
+    assert "auth_basic off;" in (tmp_path / "nginx" / "auth-basic.conf").read_text()
+    wisctl.main(["gen-auth", "k", "--basic"])
+    assert 'auth_basic "Willow";' in (
+        tmp_path / "nginx" / "auth-basic.conf"
+    ).read_text()
+
+
+def test_new_ops_verbs_parse():
+    """install / shell / freeze-requirements exist (reference
+    utils.sh:309-437)."""
+    import argparse
+
+    parser_smoke = ["install", "--image", "x", "tiny"]
+    ns = None
+    try:
+        # build the parser without executing: monkeypatch fn dispatch
+        import unittest.mock as mock
+
+        with mock.patch.object(wisctl, "cmd_install", return_value=0) as m:
+            rc = wisctl.main(parser_smoke)
+        assert rc == 0 and m.called
+        with mock.patch.object(wisctl, "cmd_shell", return_value=0) as m:
+            assert wisctl.main(["shell"]) == 0 and m.called
+        with mock.patch.object(
+            wisctl, "cmd_freeze_requirements", return_value=0
+        ) as m:
+            assert wisctl.main(["freeze-requirements"]) == 0 and m.called
+    except argparse.ArgumentError as e:
+        raise AssertionError(f"unparseable: {e}") from e
+    del ns
+
+
 def test_hf_repo_mapping():
     assert wisctl.HF_REPOS["large"] == "openai/whisper-large-v2"
     assert wisctl.HF_REPOS["tiny"] == "openai/whisper-tiny"

@@ -53,23 +53,31 @@ def _setup(seed=0, n_written=7):
     xa_k = jnp.asarray(rng.standard_normal((L, H, DH, S)) * 0.3, jnp.bfloat16)
     xa_v = jnp.asarray(rng.standard_normal((L, H, DH, S)) * 0.3, jnp.bfloat16)
 
-    # ancestry: each beam's first n_written positions in a random row
+    # ancestry: each beam's first n_written positions in a random row;
+    # sel in the kernel's TIME-MAJOR flat order (column = t*BK + row)
     anc = rng.integers(0, BK, (BK, T))
     anc[:, n_written:] = -1
-    sel = np.zeros((BK, BK, T), np.float32)
+    sel = np.zeros((BK, T, BK), np.float32)
     for b in range(BK):
         for s in range(n_written):
-            sel[b, anc[b, s], s] = 1.0
+            sel[b, s, anc[b, s]] = 1.0
     sel = jnp.asarray(sel.reshape(BK, BK * T))
     return params, packed, x_emb, k_cache, v_cache, xa_k, xa_v, sel, anc
 
 
+def _tmajor(cache5):  # (L, H, DH, BK, T) → flat time-major (L, D, T*BK)
+    return cache5.transpose(0, 1, 2, 4, 3).reshape(L, D, BK * T)
+
+
 def test_kernel_matches_reference():
-    (params, packed, x_emb, k_cache, v_cache, xa_k, xa_v, sel, _) = _setup()
+    n_written = 7
+    (params, packed, x_emb, k_cache, v_cache, xa_k, xa_v, sel, _) = _setup(
+        n_written=n_written
+    )
     step = build_fused_decode_step(CFG, bk=BK, t_cache=T, s_audio=S)
-    kc_flat = k_cache.reshape(L, H, DH, BK * T)
-    vc_flat = v_cache.reshape(L, H, DH, BK * T)
-    x_out, k_new, v_new = jax.jit(step)(
+    kc_flat = _tmajor(k_cache)
+    vc_flat = _tmajor(v_cache)
+    x_out, k_new, v_new, kc_out, vc_out = jax.jit(step)(
         packed, x_emb, kc_flat, vc_flat, xa_k, xa_v, sel
     )
     x_ref, k_ref, v_ref = fused_decode_step_reference(
@@ -78,13 +86,21 @@ def test_kernel_matches_reference():
     np.testing.assert_allclose(
         np.asarray(x_out), np.asarray(x_ref), rtol=2e-2, atol=2e-2
     )
+    # k_ref (L, H, BK, Dh) → kernel's (L, BK, D)
+    k_want = np.asarray(k_ref, np.float32).transpose(0, 2, 1, 3).reshape(L, BK, D)
+    v_want = np.asarray(v_ref, np.float32).transpose(0, 2, 1, 3).reshape(L, BK, D)
     np.testing.assert_allclose(
-        np.asarray(k_new, np.float32), np.asarray(k_ref, np.float32),
-        rtol=2e-2, atol=2e-2,
+        np.asarray(k_new, np.float32), k_want, rtol=2e-2, atol=2e-2
     )
     np.testing.assert_allclose(
-        np.asarray(v_new, np.float32), np.asarray(v_ref, np.float32),
-        rtol=2e-2, atol=2e-2,
+        np.asarray(v_new, np.float32), v_want, rtol=2e-2, atol=2e-2
+    )
+    # the cache rides through the kernel untouched (aliased pass-through)
+    np.testing.assert_array_equal(
+        np.asarray(kc_out, np.float32), np.asarray(kc_flat, np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vc_out, np.float32), np.asarray(vc_flat, np.float32)
     )
 
 
@@ -120,9 +136,7 @@ def test_reference_matches_model_decode_step():
     )
 
     x_ref, k_ref, v_ref = fused_decode_step_reference(
-        CFG, packed, x_emb,
-        k_cache.reshape(L, H, DH, BK * T),
-        v_cache.reshape(L, H, DH, BK * T),
+        CFG, packed, x_emb, _tmajor(k_cache), _tmajor(v_cache),
         xa_k, xa_v, sel,
     )
     xn = (

@@ -185,11 +185,17 @@ def build_generate_xa(
         out = out.at[:, :, 0].set(top_tok)
         finished0 = top_tok == EOT
         if fused:
-            # kernel layout (L, H, Dh, BK, T): beams of a sequence are
-            # adjacent along the flat row axis (row = b*K + k)
+            # kernel layout (L, D, T*BK) flat TIME-MAJOR: heads merged,
+            # each position's K beam columns adjacent — the per-step
+            # cache write is ONE contiguous dynamic_update_slice at
+            # column pos*K on the kernel's aliased pass-through buffers
             cache_bk = DecoderCache(
-                jnp.repeat(cache0.k.transpose(0, 2, 3, 1, 4), K, axis=3),
-                jnp.repeat(cache0.v.transpose(0, 2, 3, 1, 4), K, axis=3),
+                jnp.repeat(
+                    cache0.k.reshape(L, H * Dh, cache_len), K, axis=-1
+                ),
+                jnp.repeat(
+                    cache0.v.reshape(L, H * Dh, cache_len), K, axis=-1
+                ),
                 cache0.pos,
             )
             # cross-KV minor axis zero-padded to tile alignment once per
@@ -236,12 +242,12 @@ def build_generate_xa(
             if fused:
                 # sel from the PRE-update ancestry: the current position
                 # is still -1 (excluded) — the step's own K/V join the
-                # softmax through the kernel's explicit self column
-                sel = (
-                    jax.nn.one_hot(s.anc[0], K, dtype=jnp.float32)
-                    .swapaxes(-1, -2)
-                    .reshape(K, K * cache_len)
-                )
+                # softmax through the kernel's explicit self column.
+                # (K, T, K) reshapes straight to the kernel's time-major
+                # flat columns (t*K + row).
+                sel = jax.nn.one_hot(
+                    s.anc[0], K, dtype=jnp.float32
+                ).reshape(K, K * cache_len)
                 dec = params["decoder"]
                 x_emb = (
                     jnp.take(dec["tok_emb"], s.tokens.reshape(BK), axis=0)
@@ -249,26 +255,22 @@ def build_generate_xa(
                     + jnp.take(dec["pos"], s.cache.pos, axis=0)
                     .astype(jnp.float32)[None]
                 )
-                x_out, k_new, v_new = step_fn(
-                    packed,
-                    x_emb,
-                    s.cache.k.reshape(L, H, Dh, BK * cache_len),
-                    s.cache.v.reshape(L, H, Dh, BK * cache_len),
-                    xa_k_f,
-                    xa_v_f,
-                    sel,
+                x_out, k_new, v_new, kc, vc = step_fn(
+                    packed, x_emb, s.cache.k, s.cache.v,
+                    xa_k_f, xa_v_f, sel,
                 )
-                # one in-place column write per step; rows never move
-                col = lambda a: a.transpose(0, 1, 3, 2)[..., None].astype(dtype)
-                cache = DecoderCache(
-                    jax.lax.dynamic_update_slice(
-                        s.cache.k, col(k_new), (0, 0, 0, 0, s.cache.pos)
-                    ),
-                    jax.lax.dynamic_update_slice(
-                        s.cache.v, col(v_new), (0, 0, 0, 0, s.cache.pos)
-                    ),
-                    s.cache.pos + 1,
+                # ONE contiguous column-block write per array on the
+                # aliased pass-through buffers (single consumer chain →
+                # in place; no full-cache copies)
+                kc = jax.lax.dynamic_update_slice(
+                    kc, k_new.transpose(0, 2, 1).astype(dtype),
+                    (0, 0, s.cache.pos * K),
                 )
+                vc = jax.lax.dynamic_update_slice(
+                    vc, v_new.transpose(0, 2, 1).astype(dtype),
+                    (0, 0, s.cache.pos * K),
+                )
+                cache = DecoderCache(kc, vc, s.cache.pos + 1)
                 xn = layer_norm(
                     x_out, dec["ln"]["g"], dec["ln"]["b"]
                 ).astype(dtype)

@@ -168,6 +168,108 @@ def hifigan_from_coqui(
     return params
 
 
+def conditioning_from_coqui(sd: Dict[str, np.ndarray], cfg, dtype=jnp.float32) -> Dict:
+    """Convert `gpt.conditioning_encoder.*` + `gpt.conditioning_perceiver.*`
+    (XTTS v2 layout: tortoise ConditioningEncoder = init 1×1 conv +
+    AttentionBlocks[norm/qkv/proj_out]; PerceiverResampler = latents +
+    layers.{i}.[0=Attention(norm,to_q,to_kv,to_out) | 1=FeedForward
+    (0=RMSNorm, 1=Linear, 3=Linear)] + final norm).
+
+    RMSNorm gamma keys are looked up under both `gamma` and `g`;
+    anything under the two prefixes that is left unconsumed is returned
+    via params["_unmapped"] and logged by the caller so a real
+    checkpoint surfaces naming drift instead of silently degrading."""
+    consumed = set()
+
+    def take(key, *alts, default=None):
+        for k in (key,) + alts:
+            if k in sd:
+                consumed.add(k)
+                return sd[k]
+        if default is not None:
+            return default
+        raise KeyError(key)
+
+    p = "gpt.conditioning_encoder."
+    D = cfg.d_model
+    init_w = take(p + "init.weight")  # (D, n_mels, 1)
+    params = {
+        "init_w": jnp.asarray(np.squeeze(init_w, -1).T, dtype),  # (M, D)
+        "init_b": jnp.asarray(take(p + "init.bias"), dtype),
+        "blocks": [],
+        "perceiver": [],
+    }
+    for i in range(cfg.n_blocks):
+        b = p + f"attn.{i}."
+        params["blocks"].append(
+            {
+                "norm_g": jnp.asarray(take(b + "norm.weight"), jnp.float32),
+                "norm_b": jnp.asarray(take(b + "norm.bias"), jnp.float32),
+                # conv1d (3D, D, 1) → (D, 3D)
+                "qkv_w": jnp.asarray(
+                    np.squeeze(take(b + "qkv.weight"), -1).T, dtype
+                ),
+                "qkv_b": jnp.asarray(take(b + "qkv.bias"), dtype),
+                "proj_w": jnp.asarray(
+                    np.squeeze(take(b + "proj_out.weight"), -1).T, dtype
+                ),
+                "proj_b": jnp.asarray(take(b + "proj_out.bias"), dtype),
+            }
+        )
+
+    q = "gpt.conditioning_perceiver."
+    ones_d = np.ones(D, np.float32)
+    params["latents"] = jnp.asarray(take(q + "latents"), dtype)
+    for i in range(cfg.perceiver_depth):
+        a = q + f"layers.{i}.0."
+        f = q + f"layers.{i}.1."
+        kv = take(a + "to_kv.weight")  # (2*inner, D)
+        inner = kv.shape[0] // 2
+        params["perceiver"].append(
+            {
+                "attn_norm_g": jnp.asarray(
+                    take(a + "norm.gamma", a + "norm.g", default=ones_d),
+                    jnp.float32,
+                ),
+                "q_w": jnp.asarray(take(a + "to_q.weight").T, dtype),
+                "k_w": jnp.asarray(kv[:inner].T, dtype),
+                "v_w": jnp.asarray(kv[inner:].T, dtype),
+                "o_w": jnp.asarray(take(a + "to_out.weight").T, dtype),
+                "ff_norm_g": jnp.asarray(
+                    take(f + "0.gamma", f + "0.g", default=ones_d), jnp.float32
+                ),
+                "ff1_w": jnp.asarray(take(f + "1.weight").T, dtype),
+                "ff1_b": jnp.asarray(
+                    take(f + "1.bias", default=np.zeros(0, np.float32)), dtype
+                ),
+                "ff2_w": jnp.asarray(take(f + "3.weight").T, dtype),
+                "ff2_b": jnp.asarray(
+                    take(f + "3.bias", default=np.zeros(0, np.float32)), dtype
+                ),
+            }
+        )
+        # bias-free checkpoint linears → zero biases at the right width
+        for wk, bk_ in (("ff1_w", "ff1_b"), ("ff2_w", "ff2_b")):
+            blk = params["perceiver"][-1]
+            if blk[bk_].shape[0] != blk[wk].shape[1]:
+                blk[bk_] = jnp.zeros(blk[wk].shape[1], dtype)
+    params["out_norm_g"] = jnp.asarray(
+        take(q + "norm.gamma", q + "norm.g", default=ones_d), jnp.float32
+    )
+
+    unmapped = sorted(
+        k for k in sd
+        if (k.startswith(p) or k.startswith(q)) and k not in consumed
+    )
+    if unmapped:
+        logger.warning(
+            "XTTS: %d conditioning keys not mapped (naming drift?): %s",
+            len(unmapped), unmapped[:8],
+        )
+    params["_unmapped"] = unmapped
+    return params
+
+
 def load_coqui_checkpoint(path: str) -> Optional[Dict[str, np.ndarray]]:
     """Load a Coqui model.pth into numpy tensors (torch CPU)."""
     try:

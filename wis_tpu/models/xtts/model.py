@@ -90,6 +90,18 @@ class XTTSModel:
                     logger.info("XTTS: loaded Coqui checkpoint %s", ckpt)
                 except (KeyError, ValueError) as e:
                     logger.warning("XTTS: checkpoint conversion failed: %s", e)
+                try:
+                    from wis_tpu.models.xtts.convert import conditioning_from_coqui
+
+                    cond = conditioning_from_coqui(sd, self._cond_cfg(), jnp.float32)
+                    cond.pop("_unmapped", None)
+                    self._cond_params = cond
+                    logger.info("XTTS: loaded conditioning encoder from checkpoint")
+                except (KeyError, ValueError) as e:
+                    logger.warning(
+                        "XTTS: conditioning conversion failed (%s) — "
+                        "clone_speaker falls back to random init", e
+                    )
         if self.gpt_params is None:
             logger.warning("XTTS: using seeded random init (no checkpoint)")
             self.gpt_params = random_gpt(self.cfg.gpt, seed=seed, dtype=dtype)
@@ -165,27 +177,49 @@ class XTTSModel:
     # conditioning encoder + perceiver resampler (XTTS's
     # get_conditioning_latents architecture, models/xtts/conditioning.py).
     # ------------------------------------------------------------------ #
-    def _conditioning(self):
-        if not hasattr(self, "_cond_params"):
-            from wis_tpu.models.xtts.conditioning import (
-                ConditioningConfig,
-                build_clone_program,
-                random_conditioning,
-            )
+    def _cond_cfg(self):
+        from wis_tpu.models.xtts.conditioning import ConditioningConfig
 
-            g = self.cfg.gpt
-            cond_cfg = ConditioningConfig(
-                n_mels=80,
-                d_model=g.d_model,
-                n_heads=g.n_head,
-                n_blocks=min(6, g.n_layer),
-                n_latents=self.cfg.cond_len,
-                perceiver_heads=min(8, g.n_head),
-                perceiver_depth=2,
+        g = self.cfg.gpt
+        return ConditioningConfig(
+            n_mels=80,
+            d_model=g.d_model,
+            n_heads=g.n_head,
+            n_blocks=min(6, g.n_layer),
+            n_latents=self.cfg.cond_len,
+            n_groups=min(32, g.d_model // 4),
+            perceiver_heads=min(8, g.n_head),
+            perceiver_depth=2,
+        )
+
+    def _conditioning(self):
+        from wis_tpu.models.xtts.conditioning import (
+            build_clone_program,
+            random_conditioning,
+        )
+
+        if not hasattr(self, "_cond_params"):
+            self._cond_params = random_conditioning(
+                self._cond_cfg(), dtype=jnp.float32
             )
-            self._cond_params = random_conditioning(cond_cfg, dtype=jnp.float32)
-            self._cond_program = build_clone_program(cond_cfg)
+        if not hasattr(self, "_cond_program"):
+            self._cond_program = build_clone_program(self._cond_cfg())
         return self._cond_program, self._cond_params
+
+    def _speaker_embedding(self, audio_16k: np.ndarray) -> np.ndarray:
+        """Vocoder-path speaker embedding: the in-repo WavLM x-vector
+        (TPU-native stand-in for Coqui's bundled ResNet speaker encoder,
+        the same embedder that powers /api/sv)."""
+        cdim = self.cfg.vocoder.cond_dim
+        if not hasattr(self, "_spk_embed_fn"):
+            from wis_tpu.models.wavlm import default_embedder
+
+            self._spk_embed_fn = default_embedder()
+        emb = np.asarray(self._spk_embed_fn(audio_16k), np.float32).reshape(-1)
+        if emb.shape[0] < cdim:
+            emb = np.pad(emb, (0, cdim - emb.shape[0]))
+        emb = emb[:cdim]
+        return (emb / max(np.linalg.norm(emb), 1e-6)).astype(np.float16)
 
     def clone_speaker(self, audio_16k: np.ndarray) -> Dict[str, list]:
         from wis_tpu.audio.mel import log_mel_spectrogram, pad_or_trim
@@ -196,12 +230,7 @@ class XTTSModel:
             program(cond_params, jnp.asarray(mel[None], jnp.float32)),
             np.float16,
         )
-        # speaker embedding for the vocoder conditioning path: spectral
-        # statistics (a WavLM x-vector can be injected via server config)
-        cdim = self.cfg.vocoder.cond_dim
-        stats = np.concatenate([mel.mean(axis=1), mel.std(axis=1)])  # (160,)
-        emb = np.tile(stats, cdim // stats.shape[0] + 1)[:cdim]
-        emb = (emb / max(np.linalg.norm(emb), 1e-6)).astype(np.float16)
+        emb = self._speaker_embedding(audio_16k)
         return {
             "gpt_cond_latent": cond.tolist(),
             "speaker_embedding": emb.tolist(),
@@ -223,11 +252,23 @@ class XTTSModel:
         top_p: float = 0.8,
         do_sample: bool = True,
         speed: float = 1.0,
+        decoder: str = "ne_hifigan",
         seed: int = 0,
     ) -> Iterator[np.ndarray]:
         """Yield float32 waveform chunks at 24 kHz (API surface:
-        reference xtts/main.py:243-325)."""
+        reference xtts/main.py:243-325).
+
+        decoder ∈ {ne_hifigan, hifigan}: anything else coerces to
+        ne_hifigan exactly like the reference (xtts/main.py:274). Both
+        names resolve to the checkpoint's single HiFi-GAN here (Coqui
+        model.pth ships one waveform decoder; the reference's split only
+        selected legacy variants)."""
         del length_penalty  # sampling (not beam) decode — kept for API compat
+        if decoder not in ("ne_hifigan", "hifigan"):
+            decoder = "ne_hifigan"
+        vocoder_params = getattr(self, f"vocoder_params_{decoder}", None)
+        if vocoder_params is None:
+            vocoder_params = self.vocoder_params
         g = self.cfg.gpt
         tokens = self.tokenize(text, language)
         bucket = self._text_bucket(len(tokens))
@@ -287,7 +328,7 @@ class XTTSModel:
                 voc_in = jnp.concatenate([ctx, lat_np], axis=1)
                 wav = np.asarray(
                     vocode(
-                        self.vocoder_params,
+                        vocoder_params,
                         voc_in.astype(self.dtype),
                         jnp.asarray(speaker, self.dtype),
                     )

@@ -152,15 +152,24 @@ def build_fused_decode_step(
     _skip: tuple = (),  # probe-only: {"w","cache","xa"} disable a stream
 ):
     """Return fn(packed, x_emb, k_cache, v_cache, xa_k, xa_v, sel)
-      -> (x_out (BK, D) f32, k_new (L, H, BK, Dh) bf16, v_new ...)
+      -> (x_out (BK, D) f32, k_new (L, BK, D) bf16, v_new (L, BK, D),
+          k_cache, v_cache)
 
     x_emb:   (BK, D) f32 — token+pos embedding for this step
-    k/v_cache: (L, H, Dh, BK*T) bf16 — ancestry rows, flat (beam, time)
+    k/v_cache: (L, D, BK*T) bf16 — TIME-MAJOR flat columns
+             (flat index = t*BK + row, heads merged into D). Passed
+             through as ALIASED outputs (input_output_aliases) so the
+             decode loop's cache keeps a single buffer identity across
+             the custom call — without the alias XLA copies the whole
+             cache every step (~8.5 ms on large-v2, BENCH.md). The
+             caller writes this step's K/V with ONE contiguous
+             dynamic_update_slice at column pos*BK (that's why the flat
+             axis is time-major: all beams' new columns are adjacent).
     xa_k/xa_v: (L, H, Dh, S_pad) bf16 — precomputed cross-attention K/V,
              minor axis ZERO-PADDED to the next 128 multiple of s_audio
              (hand-DMA slices of an HBM memref must be tile-aligned);
              the kernel masks the pad columns out of the softmax
-    sel:     (BK, BK*T) f32 — 1 where column (row p, pos s) belongs to
+    sel:     (BK, BK*T) f32 — 1 where flat column (t*BK + p) belongs to
              the query beam's history (current pos excluded; the step's
              own K/V join via the in-kernel self column)
     """
@@ -187,8 +196,8 @@ def build_fused_decode_step(
         s_ref, b_ref, ln_ref, x_in, sel_ref,
         # ANY (HBM) inputs
         w_hbm, kc_hbm, vc_hbm, xak_hbm, xav_hbm,
-        # outputs
-        x_out, knew_out, vnew_out,
+        # outputs (kc_out/vc_out are unwritten aliases of kc/vc_hbm)
+        x_out, knew_out, vnew_out, kc_out, vc_out,
         # scratch
         x, h, qkv, attn, ctx, gbuf, yacc,
         wbuf, kbuf, vbuf, xakbuf, xavbuf,
@@ -205,13 +214,15 @@ def build_fused_decode_step(
         def kdma(grp, slot):
             li, gi = grp // ng_c, grp % ng_c
             return pltpu.make_async_copy(
-                kc_hbm.at[li, pl.ds(gi * g_c, g_c)], kbuf.at[slot], ksem.at[slot]
+                kc_hbm.at[li, pl.ds(gi * g_c * Dh, g_c * Dh)],
+                kbuf.at[slot], ksem.at[slot],
             )
 
         def vdma(grp, slot):
             li, gi = grp // ng_c, grp % ng_c
             return pltpu.make_async_copy(
-                vc_hbm.at[li, pl.ds(gi * g_c, g_c)], vbuf.at[slot], vsem.at[slot]
+                vc_hbm.at[li, pl.ds(gi * g_c * Dh, g_c * Dh)],
+                vbuf.at[slot], vsem.at[slot],
             )
 
         def xakdma(grp, slot):
@@ -272,15 +283,12 @@ def build_fused_decode_step(
         h[:] = _ln(x[:], ln_ref[0, 0], ln_ref[0, 1]).astype(jnp.bfloat16)
         qkv[:, 0:D] = wdot(h[:], QW)
         qkv[:, D : 2 * D] = wdot(h[:], KW)
-        for hh in range(H):
-            knew_out[0, hh] = (
-                qkv[:, D + hh * Dh : D + (hh + 1) * Dh]
-            ).astype(jnp.bfloat16)
+        # this step's K/V leaves as small blocked outputs; the caller
+        # writes them into the cache with one contiguous
+        # dynamic_update_slice at column pos*BK (time-major flat axis)
+        knew_out[0] = qkv[:, D : 2 * D].astype(jnp.bfloat16)
         qkv[:, 2 * D : 3 * D] = wdot(h[:], VW)
-        for hh in range(H):
-            vnew_out[0, hh] = (
-                qkv[:, 2 * D + hh * Dh : 2 * D + (hh + 1) * Dh]
-            ).astype(jnp.bfloat16)
+        vnew_out[0] = qkv[:, 2 * D : 3 * D].astype(jnp.bfloat16)
 
         # ------------- self-attention + o projection ----------------- #
         sel = sel_ref[:]  # (BK, BKT) f32
@@ -305,7 +313,7 @@ def build_fused_decode_step(
                 scores = (
                     jnp.dot(
                         q_h.astype(jnp.bfloat16),
-                        kbuf[gslot, hl],
+                        kbuf[gslot, hl * Dh : (hl + 1) * Dh],
                         preferred_element_type=jnp.float32,
                     )
                     * scale
@@ -320,7 +328,7 @@ def build_fused_decode_step(
                 denom = jnp.sum(e, axis=1, keepdims=True) + e_self
                 out_h = jax.lax.dot_general(
                     e.astype(jnp.bfloat16),
-                    vbuf[gslot, hl],
+                    vbuf[gslot, hl * Dh : (hl + 1) * Dh],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (BK, Dh)
@@ -422,10 +430,12 @@ def build_fused_decode_step(
         out_specs=[
             pl.BlockSpec((bk, D), lambda l: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, bk, Dh), lambda l: (l, 0, 0, 0),
+            pl.BlockSpec((1, bk, D), lambda l: (l, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, bk, Dh), lambda l: (l, 0, 0, 0),
+            pl.BlockSpec((1, bk, D), lambda l: (l, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((bk, D), jnp.float32),      # x
@@ -436,8 +446,8 @@ def build_fused_decode_step(
             pltpu.VMEM((bk, F), jnp.bfloat16),     # gbuf
             pltpu.VMEM((bk, D), jnp.float32),      # yacc
             pltpu.VMEM((2, D, D), jnp.int8),       # wbuf
-            pltpu.VMEM((2, g_c, Dh, BKT), jnp.bfloat16),      # kbuf
-            pltpu.VMEM((2, g_c, Dh, BKT), jnp.bfloat16),      # vbuf
+            pltpu.VMEM((2, g_c * Dh, BKT), jnp.bfloat16),     # kbuf
+            pltpu.VMEM((2, g_c * Dh, BKT), jnp.bfloat16),     # vbuf
             pltpu.VMEM((2, g_x, Dh, s_pad), jnp.bfloat16),  # xakbuf
             pltpu.VMEM((2, g_x, Dh, s_pad), jnp.bfloat16),  # xavbuf
             pltpu.SemaphoreType.DMA((2,)),
@@ -453,9 +463,14 @@ def build_fused_decode_step(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bk, D), jnp.float32),
-            jax.ShapeDtypeStruct((L, H, bk, Dh), jnp.bfloat16),
-            jax.ShapeDtypeStruct((L, H, bk, Dh), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, bk, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, bk, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, D, BKT), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, D, BKT), jnp.bfloat16),
         ],
+        # flattened-input indices: kc=6, vc=7 alias the pass-through
+        # cache outputs 3, 4 — the decode loop never copies the cache
+        input_output_aliases={6: 3, 7: 4},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=jax.default_backend() == "cpu",
     )
@@ -474,13 +489,21 @@ def build_fused_decode_step(
 # --------------------------------------------------------------------- #
 def fused_decode_step_reference(
     cfg: WhisperConfig, packed: PackedDecoder, x_emb, k_cache, v_cache,
-    xa_k, xa_v, sel,
+    xa_k, xa_v, sel, pos=None,
 ):
+    """Mirror of the kernel math (caches flat (L, D, BK*T), TIME-MAJOR
+    columns like the kernel). With `pos` given, also returns the caches
+    with this step's K/V written at columns pos*BK + row (matching the
+    caller's contiguous dynamic_update_slice); pos=None returns the
+    stacked per-layer K/V columns instead (shape (L, H, BK, Dh))."""
     D = cfg.n_text_state
     H = cfg.n_text_head
     Dh = D // H
     L = cfg.n_text_layer
     bk = x_emb.shape[0]
+    t_cache = k_cache.shape[-1] // bk
+    kcv = k_cache.reshape(L, H, Dh, bk * t_cache)
+    vcv = v_cache.reshape(L, H, Dh, bk * t_cache)
     scale = Dh**-0.5
 
     def wdot(src, l, ci):
@@ -506,7 +529,7 @@ def fused_decode_step_reference(
             v_h = v[:, hh * Dh : (hh + 1) * Dh]
             scores = (
                 jnp.dot(
-                    q_h.astype(jnp.bfloat16), k_cache[l, hh],
+                    q_h.astype(jnp.bfloat16), kcv[l, hh],
                     preferred_element_type=jnp.float32,
                 )
                 * scale
@@ -518,7 +541,7 @@ def fused_decode_step_reference(
             e_self = jnp.exp(s_self - m)
             denom = jnp.sum(e, axis=1, keepdims=True) + e_self
             out_h = jnp.einsum(
-                "bt,dt->bd", e.astype(jnp.bfloat16), v_cache[l, hh],
+                "bt,dt->bd", e.astype(jnp.bfloat16), vcv[l, hh],
                 preferred_element_type=jnp.float32,
             )
             outs.append((out_h + e_self * v_h) / denom)
@@ -565,4 +588,12 @@ def fused_decode_step_reference(
 
     k_new = jnp.stack(k_news)  # (L, H, BK, Dh)
     v_new = jnp.stack(v_news)
-    return x, k_new, v_new
+    if pos is None:
+        return x, k_new, v_new
+    # write the contiguous time-major column block at pos*BK
+    kc = k_cache
+    vc = v_cache
+    for r in range(bk):
+        kc = kc.at[:, :, pos * bk + r].set(k_new[:, :, r, :].reshape(L, D))
+        vc = vc.at[:, :, pos * bk + r].set(v_new[:, :, r, :].reshape(L, D))
+    return x, kc, vc

@@ -65,18 +65,58 @@ class SpeakerStore:
             json.dump(latents, f)
         logger.info("TTS: saved speaker %s", name)
 
-    def load_or_default(self, name: str) -> Dict:
+    def load_or_default(self, name: str, provision=None) -> Dict:
         """Unknown speakers fall back to 'default' (reference
-        xtts/main.py:289-295), else a zero voice."""
+        xtts/main.py:289-295). If no 'default' voice exists yet and a
+        `provision` callback is given, it is invoked once to enroll the
+        built-in voices (the reference ships xtts/{default,female,male}
+        .json; here they are cloned from deterministic synthetic
+        utterances on first use — real checkpoints re-clone real
+        voices). Last resort: a zero voice."""
         voice = self.load(name)
         if voice is None:
             voice = self.load("default")
+        if voice is None and provision is not None:
+            provision(self)
+            voice = self.load(name) or self.load("default")
         if voice is None:
             voice = {
                 "gpt_cond_latent": [[0.0] * 1024] * 32,
                 "speaker_embedding": [0.0] * 512,
             }
         return voice
+
+
+def _voice_seed_audio(f0: float, seconds: float = 4.0, sr: int = 16000) -> np.ndarray:
+    """Deterministic vowel-like utterance for provisioning the built-in
+    voices: an f0 harmonic stack shaped by slowly-gliding formants."""
+    t = np.arange(int(seconds * sr)) / sr
+    glide = 1.0 + 0.02 * np.sin(2 * np.pi * 0.7 * t)
+    phase = 2 * np.pi * f0 * np.cumsum(glide) / sr
+    wav = np.zeros_like(t, dtype=np.float64)
+    formants = (500 + 80 * np.sin(2 * np.pi * 0.31 * t),
+                1500 + 200 * np.sin(2 * np.pi * 0.17 * t),
+                2500 * np.ones_like(t))
+    for k in range(1, 40):
+        fk = k * f0
+        amp = sum(np.exp(-0.5 * ((fk - fc) / 220.0) ** 2) for fc in formants)
+        wav += amp * np.sin(k * phase)
+    wav *= 0.15 / max(np.abs(wav).max(), 1e-9)
+    # amplitude syllable envelope
+    wav *= 0.6 + 0.4 * np.clip(np.sin(2 * np.pi * 2.5 * t), 0.0, 1.0)
+    return wav.astype(np.float32)
+
+
+def provision_builtin_voices(model: XTTSModel):
+    """Returns a provision callback enrolling default/female/male."""
+
+    def provision(store: SpeakerStore) -> None:
+        for name, f0 in (("default", 160.0), ("female", 225.0), ("male", 120.0)):
+            if store.load(name) is None:
+                store.save(name, model.clone_speaker(_voice_seed_audio(f0)))
+        logger.info("TTS: provisioned built-in voices %s", store.names())
+
+    return provision
 
 
 def _stream_params(query) -> Dict:
@@ -91,6 +131,9 @@ def _stream_params(query) -> Dict:
         except ValueError:
             return default
 
+    decoder = query.get("decoder", "ne_hifigan")
+    if decoder not in ("ne_hifigan", "hifigan"):  # reference xtts/main.py:274
+        decoder = "ne_hifigan"
     return {
         "stream_chunk_size": f("stream_chunk_size", 20, int),
         "overlap_wav_len": f("overlap_wav_len", 1024, int),
@@ -101,6 +144,7 @@ def _stream_params(query) -> Dict:
         "top_p": f("top_p", 0.8, float),
         "do_sample": query.get("do_sample", "true").lower() in ("1", "true", "t", "yes"),
         "speed": f("speed", 1.0, float),
+        "decoder": decoder,
         "enable_text_splitting": query.get("enable_text_splitting", "false").lower()
         in ("1", "true", "t", "yes"),
     }
@@ -188,8 +232,22 @@ async def tts_stream(request: web.Request) -> web.StreamResponse:
     }
     if voice["gpt_cond_latent"] is None or voice["speaker_embedding"] is None:
         return web.json_response({"error": "Missing speaker latents"}, status=400)
+    # the reference's StreamingInputs carries the full sampling surface
+    # (xtts/main.py:95-104) — forward all of it, not just chunk size
+    decoder = body.get("decoder", "ne_hifigan")
+    if decoder not in ("ne_hifigan", "hifigan"):
+        decoder = "ne_hifigan"
     params = {
         "stream_chunk_size": int(body.get("stream_chunk_size", 20)),
+        "temperature": float(body.get("temperature", 0.1)),
+        "length_penalty": float(body.get("length_penalty", 1.0)),
+        "repetition_penalty": float(body.get("repetition_penalty", 7.0)),
+        "top_k": int(body.get("top_k", 50)),
+        "top_p": float(body.get("top_p", 0.8)),
+        "do_sample": bool(body.get("do_sample", True)),
+        "speed": float(body.get("speed", 1.0)),
+        "decoder": decoder,
+        "enable_text_splitting": bool(body.get("enable_text_splitting", False)),
     }
     # add_wav_header mirrors the reference's /tts_stream body field
     # (xtts/main.py StreamingInputs)
@@ -210,7 +268,10 @@ async def tts_get(request: web.Request) -> web.StreamResponse:
         )
     store: SpeakerStore = request.app["tts_speakers"]
     speaker = request.query.get("speaker", "default")
-    voice = store.load_or_default(speaker)
+    loop = asyncio.get_running_loop()
+    voice = await loop.run_in_executor(
+        None, store.load_or_default, speaker, request.app.get("tts_provision")
+    )
     params = _stream_params(request.query)
     return await _stream_tts(request, text, language, voice, params)
 
@@ -255,6 +316,7 @@ def create_tts_app(
     app["settings"] = settings
     app["tts_model"] = model or XTTSModel()
     app["tts_speakers"] = SpeakerStore(settings.xtts_speaker_dir)
+    app["tts_provision"] = provision_builtin_voices(app["tts_model"])
     app.router.add_post("/clone_speaker", clone_speaker)
     app.router.add_post("/tts_stream", tts_stream)
     app.router.add_get("/api/tts", tts_get)

