@@ -53,14 +53,12 @@ def micro():
     sel = jnp.asarray(sel.reshape(BK, BK * T))
 
     step = build_fused_decode_step(cfg, bk=BK, t_cache=T, s_audio=S)
-    x_out, k_new, v_new, _, _ = jax.jit(step)(
-        packed, x_emb, kc, vc, xak, xav, sel
+    x_out, k_new, v_new = jax.jit(step)(
+        packed, x_emb, kc, vc, xak, xav, sel, jnp.int32(9)
     )
     x_ref, k_ref, v_ref = fused_decode_step_reference(
-        cfg, packed, x_emb, kc, vc, xak, xav, sel
+        cfg, packed, x_emb, kc, vc, xak, xav, sel, pos=9
     )
-    k_ref = k_ref.transpose(0, 2, 1, 3).reshape(L, BK, D)
-    v_ref = v_ref.transpose(0, 2, 1, 3).reshape(L, BK, D)
     for name, a, b in (("x", x_out, x_ref), ("k", k_new, k_ref), ("v", v_new, v_ref)):
         a = np.asarray(a, np.float32)
         b = np.asarray(b, np.float32)
@@ -118,15 +116,7 @@ def timeit(t_cache=128, steps=16, bk=5):
             sel = jax.nn.one_hot(anc, K, dtype=jnp.float32).reshape(
                 K, K * t_cache
             )
-            x_out, k_new, v_new, kc, vc = step(
-                packed, x_emb, kc, vc, xak, xav, sel
-            )
-            kc = jax.lax.dynamic_update_slice(
-                kc, k_new.transpose(0, 2, 1), (0, 0, pos * K)
-            )
-            vc = jax.lax.dynamic_update_slice(
-                vc, v_new.transpose(0, 2, 1), (0, 0, pos * K)
-            )
+            x_out, kc, vc = step(packed, x_emb, kc, vc, xak, xav, sel, pos)
             xn = (
                 (x_out - jnp.mean(x_out, -1, keepdims=True))
                 * jax.lax.rsqrt(jnp.var(x_out, -1, keepdims=True) + 1e-5)
@@ -199,15 +189,9 @@ def parts(t_cache=128, steps=16, bk=5):
         def run(packed, x0, kc, vc, xak, xav, sel):
             def body(carry, _):
                 x, kc, vc, pos = carry
-                x_out, k_new, v_new, kc, vc = step(
-                    packed, x, kc, vc, xak, xav, sel
-                )
+                x_out, kc, vc = step(packed, x, kc, vc, xak, xav, sel, pos)
                 # renormalize so values stay finite across steps
-                x_next = (
-                    x_out * jax.lax.rsqrt(jnp.mean(x_out * x_out) + 1e-6)
-                    + jnp.sum(k_new).astype(jnp.float32) * 1e-9
-                    + jnp.sum(v_new).astype(jnp.float32) * 1e-9
-                )
+                x_next = x_out * jax.lax.rsqrt(jnp.mean(x_out * x_out) + 1e-6)
                 return (x_next, kc, vc, pos + 1), ()
 
             (x, kc, vc, _), _ = jax.lax.scan(
@@ -248,6 +232,8 @@ def glue(t_cache=128, steps=16, bk=5):
     packed = pack_decoder(params, cfg)
     emb = params["decoder"]["tok_emb"]
     pos_emb = params["decoder"]["pos"]
+    dec_ln_g = params["decoder"]["ln"]["g"].astype(jnp.float32)
+    dec_ln_b = params["decoder"]["ln"]["b"].astype(jnp.float32)
     kc0 = jnp.zeros((L, D, K * t_cache), jnp.bfloat16)
     vc0 = jnp.zeros((L, D, K * t_cache), jnp.bfloat16)
     xak = jnp.asarray(rng.standard_normal((L, H, Dh, s_pad)) * 0.1, jnp.bfloat16)
@@ -257,8 +243,12 @@ def glue(t_cache=128, steps=16, bk=5):
     sel0 = jnp.asarray(sel0.reshape(K, K * t_cache))
     x0 = jnp.asarray(rng.standard_normal((K, D)) * 0.1, jnp.float32)
     step = build_fused_decode_step(cfg, bk=K, t_cache=t_cache, s_audio=S)
+    from wis_tpu.ops.fused_logits import build_fused_logits_topk
 
-    def make(dus=False, selanc=False, embed=False, logits=False):
+    head = build_fused_logits_topk(cfg, bk=K, k=K)
+    sup_vec = jnp.zeros((cfg.n_vocab,), jnp.float32)
+
+    def make(selanc=False, embed=False, logits=False):
         @jax.jit
         def run(packed, x0, kc, vc, xak, xav, sel):
             def body(carry, _):
@@ -276,23 +266,16 @@ def glue(t_cache=128, steps=16, bk=5):
                     )
                 else:
                     x_in = x
-                x_out, k_new, v_new, kc, vc = step(
-                    packed, x_in, kc, vc, xak, xav, sel_t
+                x_out, kc, vc = step(
+                    packed, x_in, kc, vc, xak, xav, sel_t, pos
                 )
-                if dus:
-                    kc = jax.lax.dynamic_update_slice(
-                        kc, k_new.transpose(0, 2, 1), (0, 0, pos * K)
+                if logits == "fused":
+                    cand_val, cand_tok, lse = head(
+                        x_out, dec_ln_g, dec_ln_b, emb, sup_vec
                     )
-                    vc = jax.lax.dynamic_update_slice(
-                        vc, v_new.transpose(0, 2, 1), (0, 0, pos * K)
-                    )
-                else:
-                    x_out = (
-                        x_out
-                        + jnp.sum(k_new).astype(jnp.float32) * 1e-9
-                        + jnp.sum(v_new).astype(jnp.float32) * 1e-9
-                    )
-                if logits:
+                    tok = cand_tok[:, 0] + (lse[0, 0] * 0).astype(jnp.int32)
+                    x = x_out + cand_val[0, 0] * 1e-9
+                elif logits:
                     xn = x_out * jax.lax.rsqrt(
                         jnp.mean(x_out * x_out, -1, keepdims=True) + 1e-6
                     )
@@ -330,11 +313,11 @@ def glue(t_cache=128, steps=16, bk=5):
         return run
 
     variants = [
-        ("bare", {}),
-        ("+dus", dict(dus=True)),
-        ("+selanc", dict(dus=True, selanc=True)),
-        ("+embed", dict(dus=True, selanc=True, embed=True)),
-        ("+logits(all)", dict(dus=True, selanc=True, embed=True, logits=True)),
+        ("bare(writeback)", {}),
+        ("+selanc", dict(selanc=True)),
+        ("+embed", dict(selanc=True, embed=True)),
+        ("+logits(all)", dict(selanc=True, embed=True, logits=True)),
+        ("+fusedhead(all)", dict(selanc=True, embed=True, logits="fused")),
     ]
     for name, kwargs in variants:
         run = make(**kwargs)

@@ -147,11 +147,19 @@ def build_generate_xa(
         if B != 1:
             raise ValueError("fused decode supports single-sequence batches")
         from wis_tpu.ops.fused_decode import build_fused_decode_step
+        from wis_tpu.ops.fused_logits import build_fused_logits_topk
 
         # kernel DMA slices want a lane-aligned flat (beam, time) axis
         cache_len = ((cache_len + 127) // 128) * 128
         step_fn = build_fused_decode_step(
             cfg, bk=BK, t_cache=cache_len, s_audio=cfg.n_audio_ctx
+        )
+        # the decode tail (LN + logits + top-k + lse) fuses too, except
+        # under the timestamp grammar whose dynamic masks need the full
+        # logits row
+        head_fn = (
+            None if with_timestamps
+            else build_fused_logits_topk(cfg, bk=BK, k=K)
         )
         H = cfg.n_text_head
         Dh = cfg.n_text_state // H
@@ -255,31 +263,23 @@ def build_generate_xa(
                     + jnp.take(dec["pos"], s.cache.pos, axis=0)
                     .astype(jnp.float32)[None]
                 )
-                x_out, k_new, v_new, kc, vc = step_fn(
+                # the kernel injects this step's K/V columns into the
+                # aliased cache buffers itself — zero XLA-side cache ops
+                x_out, kc, vc = step_fn(
                     packed, x_emb, s.cache.k, s.cache.v,
-                    xa_k_f, xa_v_f, sel,
-                )
-                # ONE contiguous column-block write per array on the
-                # aliased pass-through buffers (single consumer chain →
-                # in place; no full-cache copies)
-                kc = jax.lax.dynamic_update_slice(
-                    kc, k_new.transpose(0, 2, 1).astype(dtype),
-                    (0, 0, s.cache.pos * K),
-                )
-                vc = jax.lax.dynamic_update_slice(
-                    vc, v_new.transpose(0, 2, 1).astype(dtype),
-                    (0, 0, s.cache.pos * K),
+                    xa_k_f, xa_v_f, sel, s.cache.pos,
                 )
                 cache = DecoderCache(kc, vc, s.cache.pos + 1)
-                xn = layer_norm(
-                    x_out, dec["ln"]["g"], dec["ln"]["b"]
-                ).astype(dtype)
-                logits = jnp.einsum(
-                    "bd,vd->bv",
-                    xn,
-                    dec["tok_emb"].astype(dtype),
-                    preferred_element_type=jnp.float32,
-                )
+                if head_fn is None:
+                    xn = layer_norm(
+                        x_out, dec["ln"]["g"], dec["ln"]["b"]
+                    ).astype(dtype)
+                    logits = jnp.einsum(
+                        "bd,vd->bv",
+                        xn,
+                        dec["tok_emb"].astype(dtype),
+                        preferred_element_type=jnp.float32,
+                    )
                 anc = jax.lax.dynamic_update_index_in_dim(
                     s.anc,
                     jnp.broadcast_to(
@@ -307,34 +307,46 @@ def build_generate_xa(
                 logits, cache = decode_step(
                     params, s.tokens.reshape(BK), s.cache, xa_kv, cfg
                 )  # (BK, V) f32
-            masked = logits + sup
+            if fused and head_fn is not None:
+                # LN + logits + per-beam top-K + logsumexp in one Pallas
+                # pass over the embedding (ops/fused_logits); the static
+                # suppress mask folds into the kernel's chunk adds
+                dec = params["decoder"]
+                cand_val, cand_tok, lse = head_fn(
+                    x_out, dec["ln"]["g"], dec["ln"]["b"],
+                    dec["tok_emb"], sup,
+                )
+            else:
+                masked = logits + sup
 
-            if with_timestamps:
-                vocab_ids = jnp.arange(cfg.n_vocab)
-                is_eot = vocab_ids == EOT
-                # unpaired timestamp → next must be a timestamp (EOT ok)
-                need_ts = (s.prev_ts & ~s.prevprev_ts).reshape(BK)[:, None]
-                masked = jnp.where(
-                    need_ts & ~(is_ts_vec | is_eot)[None, :], NEG_INF, masked
-                )
-                # closed pair → next must be text (or EOT)
-                need_text = (s.prev_ts & s.prevprev_ts).reshape(BK)[:, None]
-                masked = jnp.where(
-                    need_text & is_ts_vec[None, :], NEG_INF, masked
-                )
-                # monotonic timestamps
-                below_max = vocab_ids[None, :] < s.max_ts.reshape(BK)[:, None]
-                masked = jnp.where(
-                    is_ts_vec[None, :] & below_max, NEG_INF, masked
-                )
+                if with_timestamps:
+                    vocab_ids = jnp.arange(cfg.n_vocab)
+                    is_eot = vocab_ids == EOT
+                    # unpaired timestamp → next must be a timestamp (EOT ok)
+                    need_ts = (s.prev_ts & ~s.prevprev_ts).reshape(BK)[:, None]
+                    masked = jnp.where(
+                        need_ts & ~(is_ts_vec | is_eot)[None, :], NEG_INF, masked
+                    )
+                    # closed pair → next must be text (or EOT)
+                    need_text = (s.prev_ts & s.prevprev_ts).reshape(BK)[:, None]
+                    masked = jnp.where(
+                        need_text & is_ts_vec[None, :], NEG_INF, masked
+                    )
+                    # monotonic timestamps
+                    below_max = vocab_ids[None, :] < s.max_ts.reshape(BK)[:, None]
+                    masked = jnp.where(
+                        is_ts_vec[None, :] & below_max, NEG_INF, masked
+                    )
 
-            # Two-stage candidate selection: the global top-K of
-            # sum_lp[k] + lp[k, v] is always contained in the per-beam
-            # top-K, so select K candidates per beam first (one narrow
-            # top_k + one logsumexp over the vocab — no normalized
-            # (B, K·V) tensor is ever materialized or reshaped).
-            cand_val, cand_tok = jax.lax.top_k(masked, K)  # (BK, K)
-            lse = jax.scipy.special.logsumexp(masked, axis=-1, keepdims=True)
+                # Two-stage candidate selection: the global top-K of
+                # sum_lp[k] + lp[k, v] is always contained in the per-beam
+                # top-K, so select K candidates per beam first (one narrow
+                # top_k + one logsumexp over the vocab — no normalized
+                # (B, K·V) tensor is ever materialized or reshaped).
+                cand_val, cand_tok = jax.lax.top_k(masked, K)  # (BK, K)
+                lse = jax.scipy.special.logsumexp(
+                    masked, axis=-1, keepdims=True
+                )
             cand_lp = (cand_val - lse).reshape(B, K, K)
             cand_tok = cand_tok.reshape(B, K, K).astype(jnp.int32)
 

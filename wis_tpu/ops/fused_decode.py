@@ -151,20 +151,20 @@ def build_fused_decode_step(
     s_audio: int = 1500,
     _skip: tuple = (),  # probe-only: {"w","cache","xa"} disable a stream
 ):
-    """Return fn(packed, x_emb, k_cache, v_cache, xa_k, xa_v, sel)
-      -> (x_out (BK, D) f32, k_new (L, BK, D) bf16, v_new (L, BK, D),
-          k_cache, v_cache)
+    """Return fn(packed, x_emb, k_cache, v_cache, xa_k, xa_v, sel, pos)
+      -> (x_out (BK, D) f32, k_cache', v_cache')
 
     x_emb:   (BK, D) f32 — token+pos embedding for this step
     k/v_cache: (L, D, BK*T) bf16 — TIME-MAJOR flat columns
-             (flat index = t*BK + row, heads merged into D). Passed
-             through as ALIASED outputs (input_output_aliases) so the
-             decode loop's cache keeps a single buffer identity across
-             the custom call — without the alias XLA copies the whole
-             cache every step (~8.5 ms on large-v2, BENCH.md). The
-             caller writes this step's K/V with ONE contiguous
-             dynamic_update_slice at column pos*BK (that's why the flat
-             axis is time-major: all beams' new columns are adjacent).
+             (flat index = t*BK + row, heads merged into D), updated IN
+             PLACE: the buffers are aliased outputs
+             (input_output_aliases) and the kernel injects this step's
+             K/V columns into each resident slab (one-hot matmul at the
+             dynamic lane offset pos*BK) and streams the slab back to
+             HBM behind the attention compute. An XLA-side
+             dynamic_update_slice costs a full-cache pass per step
+             (~0.53 ms on large-v2); the write-back adds only the slab
+             write bytes (~0.13 ms) and no XLA op at all.
     xa_k/xa_v: (L, H, Dh, S_pad) bf16 — precomputed cross-attention K/V,
              minor axis ZERO-PADDED to the next 128 multiple of s_audio
              (hand-DMA slices of an HBM memref must be tile-aligned);
@@ -172,6 +172,7 @@ def build_fused_decode_step(
     sel:     (BK, BK*T) f32 — 1 where flat column (t*BK + p) belongs to
              the query beam's history (current pos excluded; the step's
              own K/V join via the in-kernel self column)
+    pos:     () int32 — the cache position this step writes
     """
     D = cfg.n_text_state
     H = cfg.n_text_head
@@ -192,18 +193,37 @@ def build_fused_decode_step(
     ng_x = H // g_x
 
     def kernel(
+        # scalar prefetch
+        pos_ref,
         # blocked inputs
         s_ref, b_ref, ln_ref, x_in, sel_ref,
         # ANY (HBM) inputs
         w_hbm, kc_hbm, vc_hbm, xak_hbm, xav_hbm,
-        # outputs (kc_out/vc_out are unwritten aliases of kc/vc_hbm)
-        x_out, knew_out, vnew_out, kc_out, vc_out,
+        # outputs (kc_out/vc_out alias kc/vc_hbm; written by slab DMA)
+        x_out, kc_out, vc_out,
         # scratch
         x, h, qkv, attn, ctx, gbuf, yacc,
         wbuf, kbuf, vbuf, xakbuf, xavbuf,
-        wsem, ksem, vsem, xaksem, xavsem,
+        wsem, ksem, vsem, xaksem, xavsem, kwsem, vwsem,
     ):
         l = pl.program_id(0)
+        pos = pos_ref[0]
+
+        def kwdma(grp, slot):
+            li, gi = grp // ng_c, grp % ng_c
+            return pltpu.make_async_copy(
+                kbuf.at[slot],
+                kc_out.at[li, pl.ds(gi * g_c * Dh, g_c * Dh)],
+                kwsem.at[slot],
+            )
+
+        def vwdma(grp, slot):
+            li, gi = grp // ng_c, grp % ng_c
+            return pltpu.make_async_copy(
+                vbuf.at[slot],
+                vc_out.at[li, pl.ds(gi * g_c * Dh, g_c * Dh)],
+                vwsem.at[slot],
+            )
 
         def wdma(g, slot):
             li, ci = g // NC, g % NC
@@ -283,28 +303,63 @@ def build_fused_decode_step(
         h[:] = _ln(x[:], ln_ref[0, 0], ln_ref[0, 1]).astype(jnp.bfloat16)
         qkv[:, 0:D] = wdot(h[:], QW)
         qkv[:, D : 2 * D] = wdot(h[:], KW)
-        # this step's K/V leaves as small blocked outputs; the caller
-        # writes them into the cache with one contiguous
-        # dynamic_update_slice at column pos*BK (time-major flat axis)
-        knew_out[0] = qkv[:, D : 2 * D].astype(jnp.bfloat16)
         qkv[:, 2 * D : 3 * D] = wdot(h[:], VW)
-        vnew_out[0] = qkv[:, 2 * D : 3 * D].astype(jnp.bfloat16)
 
         # ------------- self-attention + o projection ----------------- #
         sel = sel_ref[:]  # (BK, BKT) f32
+        # one-hot placement of this step's K/V at flat columns
+        # pos*BK + row (time-major) — built once per layer
+        jj = jax.lax.broadcasted_iota(jnp.int32, (bk, BKT), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (bk, BKT), 1)
+        place = (cc == pos * bk + jj).astype(jnp.bfloat16)  # (BK, BKT)
+        cc1 = jax.lax.broadcasted_iota(jnp.int32, (1, BKT), 1)
+        colmask = (cc1 >= pos * bk) & (cc1 < pos * bk + bk)  # (1, BKT)
         for grp in range(ng_c if "cache" not in _skip else 0):
             # slots are indexed by the GLOBAL group counter so issue
             # and wait sides agree across layer boundaries
             gslot = (l * ng_c + grp) % 2
             nxt_g = l * ng_c + grp + 1
+            gd0 = grp * g_c * Dh
 
             @pl.when(nxt_g < (L * ng_c))
             def _():
+                # the slot being refilled held group nxt_g-2, whose
+                # write-back must have landed first
+                @pl.when(nxt_g >= 2)
+                def _():
+                    kwdma(nxt_g - 2, nxt_g % 2).wait()
+                    vwdma(nxt_g - 2, nxt_g % 2).wait()
+
                 kdma(nxt_g, nxt_g % 2).start()
                 vdma(nxt_g, nxt_g % 2).start()
 
             kdma(l * ng_c + grp, gslot).wait()
             vdma(l * ng_c + grp, gslot).wait()
+            # inject the new columns into the resident slab, then stream
+            # the slab back (this IS the cache update; `sel` masks the
+            # current position out of this step's scores)
+            newk = qkv[:, D + gd0 : D + gd0 + g_c * Dh].astype(jnp.bfloat16)
+            kbuf[gslot] = jnp.where(
+                colmask,
+                jax.lax.dot_general(
+                    newk, place, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16),
+                kbuf[gslot],
+            )
+            newv = qkv[:, 2 * D + gd0 : 2 * D + gd0 + g_c * Dh].astype(
+                jnp.bfloat16
+            )
+            vbuf[gslot] = jnp.where(
+                colmask,
+                jax.lax.dot_general(
+                    newv, place, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16),
+                vbuf[gslot],
+            )
+            kwdma(l * ng_c + grp, gslot).start()
+            vwdma(l * ng_c + grp, gslot).start()
             for hl in range(g_c):
                 hh = grp * g_c + hl
                 q_h = qkv[:, hh * Dh : (hh + 1) * Dh]  # (BK, Dh) f32
@@ -405,21 +460,28 @@ def build_fused_decode_step(
 
         @pl.when(l == L - 1)
         def _():
+            if "cache" not in _skip:
+                # last two slab write-backs have no later read to pair
+                # their waits with — drain them here
+                total = L * ng_c
+                for g in range(max(0, total - 2), total):
+                    kwdma(g, g % 2).wait()
+                    vwdma(g, g % 2).wait()
             x_out[:] = x[:]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(L,),
         in_specs=[
-            pl.BlockSpec((1, NC, 1, D), lambda l: (l, 0, 0, 0),
+            pl.BlockSpec((1, NC, 1, D), lambda l, pos: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NC, 1, D), lambda l: (l, 0, 0, 0),
+            pl.BlockSpec((1, NC, 1, D), lambda l, pos: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6, D), lambda l: (l, 0, 0),
+            pl.BlockSpec((1, 6, D), lambda l, pos: (l, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, D), lambda l: (0, 0),
+            pl.BlockSpec((bk, D), lambda l, pos: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, BKT), lambda l: (0, 0),
+            pl.BlockSpec((bk, BKT), lambda l, pos: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -428,11 +490,7 @@ def build_fused_decode_step(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((bk, D), lambda l: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, D), lambda l: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, D), lambda l: (l, 0, 0),
+            pl.BlockSpec((bk, D), lambda l, pos: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -455,6 +513,8 @@ def build_fused_decode_step(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -463,20 +523,19 @@ def build_fused_decode_step(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bk, D), jnp.float32),
-            jax.ShapeDtypeStruct((L, bk, D), jnp.bfloat16),
-            jax.ShapeDtypeStruct((L, bk, D), jnp.bfloat16),
             jax.ShapeDtypeStruct((L, D, BKT), jnp.bfloat16),
             jax.ShapeDtypeStruct((L, D, BKT), jnp.bfloat16),
         ],
-        # flattened-input indices: kc=6, vc=7 alias the pass-through
-        # cache outputs 3, 4 — the decode loop never copies the cache
-        input_output_aliases={6: 3, 7: 4},
+        # flattened-input indices (0 = the pos scalar): kc=7, vc=8 alias
+        # the cache outputs 1, 2 — the decode loop never copies the cache
+        input_output_aliases={7: 1, 8: 2},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=jax.default_backend() == "cpu",
     )
 
-    def step(packed: PackedDecoder, x_emb, k_cache, v_cache, xa_k, xa_v, sel):
+    def step(packed: PackedDecoder, x_emb, k_cache, v_cache, xa_k, xa_v, sel, pos):
         return call(
+            jnp.asarray(pos, jnp.int32).reshape(1),
             packed.s, packed.b, packed.ln, x_emb, sel,
             packed.w, k_cache, v_cache, xa_k, xa_v,
         )

@@ -1,0 +1,159 @@
+"""Fused decode-step head: final-LN + vocab logits + per-beam top-k +
+logsumexp in ONE Pallas kernel.
+
+The XLA tail of a decode step (layer_norm → (BK, D)×(V, D) logits matmul
+→ top_k → logsumexp) costs ~0.61 ms on large-v2 (BENCH.md glue probe):
+three separate passes whose traffic is dominated by re-reading the
+51865×1280 bf16 embedding and materializing (BK, V) logits in HBM. This
+kernel streams the embedding once in auto-pipelined (C, D) chunks and
+keeps everything else in VMEM:
+
+    per chunk: logits_c = LN(x) @ emb_c^T + suppress_c
+               (pad columns masked by global index)
+               → online logsumexp carry (running max + rescaled sum)
+               → the chunk's top-k via k× (row-max, argmin-index, mask)
+    outputs:   per-chunk top-k values/indices (tiny), running max, sum
+
+The caller finishes with one cheap XLA top_k over the NCH*k per-chunk
+candidates — the global top-k of a union is always contained in the
+per-chunk top-ks. Static suppress masks fold in here; the timestamp
+grammar's dynamic masks don't, so with_timestamps programs keep the XLA
+tail (decoding/beam.py).
+
+Reference analog: CTranslate2's fused projection+sampling step
+(reference main.py:687-693 delegates to it).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wis_tpu.models.whisper.config import WhisperConfig
+
+NEG = -1e30
+CHUNK = 512
+KPAD = 8  # per-chunk candidate slots (top-k padded to a sublane tile)
+
+
+def build_fused_logits_topk(cfg: WhisperConfig, *, bk: int, k: int):
+    """Return fn(x (bk, D) f32, ln_g, ln_b (D,), emb (V, D) bf16,
+    sup (1, V_pad) f32) → (cand_val (NCH, bk, KPAD) f32,
+    cand_idx (NCH, bk, KPAD) i32, m (bk, 1) f32, sumexp (bk, 1) f32).
+
+    logsumexp = m + log(sumexp); candidate logits already include `sup`.
+    """
+    assert k <= KPAD
+    D = cfg.n_text_state
+    V = cfg.n_vocab
+    nch = (V + CHUNK - 1) // CHUNK
+    v_pad = nch * CHUNK
+
+    def kernel(x_in, ln_ref, emb_ref, sup_ref,
+               val_out, idx_out, m_out, s_out,
+               xn, m, sacc):
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            x32 = x_in[:].astype(jnp.float32)
+            mu = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.var(x32, axis=-1, keepdims=True)
+            xn[:] = (
+                (x32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln_ref[0] + ln_ref[1]
+            ).astype(jnp.bfloat16)
+            m[:] = jnp.full_like(m, NEG)
+            sacc[:] = jnp.zeros_like(sacc)
+
+        logits = jax.lax.dot_general(
+            xn[:], emb_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bk, CHUNK)
+        logits = logits + sup_ref[0][None, :]
+        col = jax.lax.broadcasted_iota(jnp.int32, (bk, CHUNK), 1)
+        gcol = col + c * CHUNK
+        logits = jnp.where(gcol < V, logits, NEG)
+
+        # online logsumexp
+        cm = jnp.max(logits, axis=1, keepdims=True)  # (bk, 1)
+        new_m = jnp.maximum(m[:], cm)
+        sacc[:] = sacc[:] * jnp.exp(m[:] - new_m) + jnp.sum(
+            jnp.exp(logits - new_m), axis=1, keepdims=True
+        )
+        m[:] = new_m
+
+        # chunk top-k: k × (row-max, lowest-index argmax, mask out)
+        v = logits
+        for j in range(KPAD):
+            if j < k:
+                mj = jnp.max(v, axis=1, keepdims=True)  # (bk, 1)
+                ij = jnp.min(
+                    jnp.where(v >= mj, col, CHUNK + 1), axis=1, keepdims=True
+                )  # (bk, 1)
+                val_out[0, :, j] = mj[:, 0]
+                idx_out[0, :, j] = ij[:, 0] + c * CHUNK
+                v = jnp.where(col == ij, NEG, v)
+            else:
+                val_out[0, :, j] = jnp.full((bk,), NEG, jnp.float32)
+                idx_out[0, :, j] = jnp.zeros((bk,), jnp.int32)
+
+        @pl.when(c == nch - 1)
+        def _():
+            m_out[:] = m[:]
+            s_out[:] = sacc[:]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nch,),
+        in_specs=[
+            pl.BlockSpec((bk, D), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, D), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, D), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, KPAD), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, KPAD), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, 1), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, 1), lambda c: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, D), jnp.bfloat16),   # xn
+            pltpu.VMEM((bk, 1), jnp.float32),    # running max
+            pltpu.VMEM((bk, 1), jnp.float32),    # running sumexp
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nch, bk, KPAD), jnp.float32),
+            jax.ShapeDtypeStruct((nch, bk, KPAD), jnp.int32),
+            jax.ShapeDtypeStruct((bk, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bk, 1), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )
+
+    def head(x, ln_g, ln_b, emb, sup):
+        """→ (cand_val (bk, k) f32 suppressed logits, cand_tok (bk, k)
+        i32, lse (bk, 1) f32) — drop-in for the XLA
+        top_k(logits + sup) + logsumexp tail."""
+        ln = jnp.stack([ln_g, ln_b]).astype(jnp.float32)
+        cv, ci, m, s = call(x, ln, emb, sup.reshape(1, -1))
+        flat_v = cv.transpose(1, 0, 2).reshape(bk, -1)
+        flat_i = ci.transpose(1, 0, 2).reshape(bk, -1)
+        best, slot = jax.lax.top_k(flat_v, k)
+        tok = jnp.take_along_axis(flat_i, slot, axis=1)
+        lse = m + jnp.log(jnp.maximum(s, 1e-30))
+        return best, tok, lse
+
+    return head
