@@ -52,3 +52,23 @@ def test_lcs_merge_no_overlap_concatenates():
     b = [7, 8, 9]
     merged = find_longest_common_sequence([(a, (1, 0, 0)), (b, (1, 0, 0))], specials)
     np.testing.assert_array_equal(merged, [1, 2, 3, 7, 8, 9])
+
+
+def test_lcs_merge_first_chunk_shorter_than_second():
+    """A near-empty first chunk must not crash the merge (the reference's
+    HF-derived implementation raises a numpy broadcast ValueError when a
+    chunk yields more tokens than the whole merge so far)."""
+    specials = frozenset({50257})
+    a = [9, 50257]  # one real token
+    b = [9, 1, 2, 3, 4, 5, 6, 7, 8, 50257]
+    merged = find_longest_common_sequence([(a, (1, 0, 0)), (b, (1, 0, 0))], specials)
+    # single-token overlaps never align (matches > 1 guard) — concatenate
+    np.testing.assert_array_equal(merged, [9, 9, 1, 2, 3, 4, 5, 6, 7, 8])
+
+
+def test_lcs_merge_empty_first_chunk():
+    specials = frozenset({50257})
+    merged = find_longest_common_sequence(
+        [([50257], (1, 0, 0)), ([1, 2, 3, 50257], (1, 0, 0))], specials
+    )
+    np.testing.assert_array_equal(merged, [1, 2, 3])

@@ -207,6 +207,48 @@ def test_fused_generate_matches_xla_beam_path():
     )
 
 
+def test_fused_generate_with_timestamps_matches_xla():
+    """with_timestamps through the fused path (grammar inside
+    ops/fused_logits) must make the same search decisions as the XLA
+    grammar masks."""
+    from wis_tpu.decoding.beam import build_generate_xa
+    from wis_tpu.models.whisper.tokenizer import TIMESTAMP_BASE
+
+    cfg = WhisperConfig(
+        name="micro-fused-ts",
+        n_audio_state=D, n_audio_head=H, n_audio_layer=L,
+        n_text_state=D, n_text_head=H, n_text_layer=L,
+        n_audio_ctx=S,
+    )
+    rng = np.random.default_rng(11)
+    params = quantize_whisper_params(random_params(cfg, seed=11, dtype=jnp.bfloat16))
+    packed = pack_decoder(params, cfg)
+    xa_k = jnp.asarray(rng.standard_normal((L, 1, H, DH, S)) * 0.3, jnp.bfloat16)
+    xa_v = jnp.asarray(rng.standard_normal((L, 1, H, DH, S)) * 0.3, jnp.bfloat16)
+    prompt = jnp.asarray([1, 2, 3], jnp.int32)
+
+    # narrow candidate set spanning text and timestamp ids so every
+    # grammar rule fires (first token must be a ts; pairs alternate)
+    allowed = {100, 200, 300, TIMESTAMP_BASE + 40, TIMESTAMP_BASE + 80,
+               TIMESTAMP_BASE + 120}
+    sup = tuple(i for i in range(cfg.n_vocab) if i not in allowed)
+    kw = dict(
+        beam_size=2, batch=1, max_new_tokens=8, prompt_len=3,
+        suppress_tokens=sup, begin_suppress_tokens=(),
+        with_timestamps=True,
+    )
+    rf = build_generate_xa(cfg, **kw, fused=True)(
+        params, packed, (xa_k, xa_v), prompt, jnp.int32(8)
+    )
+    rx = build_generate_xa(cfg, **kw, ancestry=True)(
+        params, (xa_k, xa_v), prompt, jnp.int32(8)
+    )
+    np.testing.assert_array_equal(np.asarray(rf.tokens), np.asarray(rx.tokens))
+    np.testing.assert_array_equal(np.asarray(rf.best), np.asarray(rx.best))
+    # grammar held: first token is a timestamp
+    assert (np.asarray(rf.tokens)[0, :, 0] >= TIMESTAMP_BASE).all()
+
+
 def test_fused_generate_greedy():
     """K=1 greedy through the fused kernel (bk=1 shapes)."""
     from wis_tpu.decoding.beam import build_generate_xa

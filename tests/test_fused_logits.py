@@ -18,14 +18,18 @@ V = CFG.n_vocab
 BK, K = 3, 2
 
 
-def _xla_tail(x, g, b, emb, sup):
+def _xla_logits(x, g, b, emb, sup):
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, -1, keepdims=True)
     var = jnp.var(x32, -1, keepdims=True)
     xn = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * g + b).astype(jnp.bfloat16)
-    logits = jnp.einsum(
+    return jnp.einsum(
         "bd,vd->bv", xn, emb, preferred_element_type=jnp.float32
     ) + sup[None, :]
+
+
+def _xla_tail(x, g, b, emb, sup):
+    logits = _xla_logits(x, g, b, emb, sup)
     val, tok = jax.lax.top_k(logits, K)
     lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
     return val, tok, lse
@@ -54,3 +58,44 @@ def test_fused_logits_matches_xla_tail():
     )
     # suppressed ids must not appear among candidates
     assert not np.isin(np.asarray(got_t), np.where(np.asarray(sup) < 0)[0]).any()
+
+
+def test_fused_logits_timestamp_grammar():
+    """grammar=True must apply the three timestamp rules identically to
+    the XLA masking in decoding/beam.py, per beam row."""
+    ts_base, eot = 900, 50  # micro-vocab stand-ins for 50364 / 50257
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((BK, D)), jnp.float32)
+    g = jnp.asarray(1 + rng.standard_normal(D) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((V, D)) * 0.3, jnp.bfloat16)
+    sup = jnp.zeros(V, jnp.float32)
+    # rows: [0] needs a timestamp next, [1] needs text next, [2] free but
+    # monotonicity-capped at ts id 1000
+    ts_state = jnp.asarray(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1000, 0]], jnp.int32
+    )
+
+    head = build_fused_logits_topk(
+        CFG, bk=BK, k=K, grammar=True, ts_base=ts_base, eot=eot
+    )
+    got_v, got_t, got_lse = jax.jit(head)(x, g, b, emb, sup, ts_state)
+
+    # XLA reference: same bf16 einsum as the kernel, grammar as
+    # full-row masks (the decoding/beam.py formulation)
+    logits = np.array(_xla_logits(x, g, b, emb, sup))
+    ids = np.arange(V)
+    is_ts = ids >= ts_base
+    logits[0, ~(is_ts | (ids == eot))] = -1e30
+    logits[1, is_ts] = -1e30
+    logits[2, is_ts & (ids < 1000)] = -1e30
+    for r in range(BK):
+        want = np.argsort(-logits[r], kind="stable")[:K]
+        np.testing.assert_array_equal(np.sort(np.asarray(got_t)[r]), np.sort(want))
+    want_lse = np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)) + logits.max(-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(got_lse), want_lse, rtol=1e-4, atol=1e-4)
+    # rule sanity: row 0 candidates are ts-or-eot, row 1 has no ts
+    t0 = np.asarray(got_t)[0]
+    assert ((t0 >= ts_base) | (t0 == eot)).all()
+    assert (np.asarray(got_t)[1] < ts_base).all()
+    assert (np.asarray(got_t)[2][np.asarray(got_t)[2] >= ts_base] >= 1000).all()

@@ -60,7 +60,10 @@ def find_longest_common_sequence(
         new_tokens = [t for t in new_seq if t not in special_ids]
         index = 0
         best = 0.0
-        for i in range(1, len(new_tokens) + 1):
+        # cap the alignment window at len(merged): the reference crashes
+        # with a broadcast error when a chunk yields more tokens than the
+        # whole merge so far (e.g. a near-empty first chunk)
+        for i in range(1, min(len(merged), len(new_tokens)) + 1):
             eps = i / 10000.0  # favor longer perfect matches
             matches = np.sum(
                 np.array(merged[-i:]) == np.array(new_tokens[:i])

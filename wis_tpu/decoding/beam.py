@@ -37,7 +37,6 @@ from wis_tpu.models.whisper.model import (
     cross_kv,
     decode_step,
     encode,
-    layer_norm,
     prefill,
 )
 from wis_tpu.models.whisper.tokenizer import EOT
@@ -154,12 +153,12 @@ def build_generate_xa(
         step_fn = build_fused_decode_step(
             cfg, bk=BK, t_cache=cache_len, s_audio=cfg.n_audio_ctx
         )
-        # the decode tail (LN + logits + top-k + lse) fuses too, except
-        # under the timestamp grammar whose dynamic masks need the full
-        # logits row
-        head_fn = (
-            None if with_timestamps
-            else build_fused_logits_topk(cfg, bk=BK, k=K)
+        # the decode tail (LN + logits + top-k + lse) fuses too; the
+        # timestamp grammar folds in as per-beam int32 scalars compared
+        # against the kernel's global column ids
+        head_fn = build_fused_logits_topk(
+            cfg, bk=BK, k=K, grammar=with_timestamps,
+            ts_base=TIMESTAMP_BASE, eot=EOT,
         )
         H = cfg.n_text_head
         Dh = cfg.n_text_state // H
@@ -270,16 +269,6 @@ def build_generate_xa(
                     xa_k_f, xa_v_f, sel, s.cache.pos,
                 )
                 cache = DecoderCache(kc, vc, s.cache.pos + 1)
-                if head_fn is None:
-                    xn = layer_norm(
-                        x_out, dec["ln"]["g"], dec["ln"]["b"]
-                    ).astype(dtype)
-                    logits = jnp.einsum(
-                        "bd,vd->bv",
-                        xn,
-                        dec["tok_emb"].astype(dtype),
-                        preferred_element_type=jnp.float32,
-                    )
                 anc = jax.lax.dynamic_update_index_in_dim(
                     s.anc,
                     jnp.broadcast_to(
@@ -307,14 +296,28 @@ def build_generate_xa(
                 logits, cache = decode_step(
                     params, s.tokens.reshape(BK), s.cache, xa_kv, cfg
                 )  # (BK, V) f32
-            if fused and head_fn is not None:
+            if fused:
                 # LN + logits + per-beam top-K + logsumexp in one Pallas
                 # pass over the embedding (ops/fused_logits); the static
-                # suppress mask folds into the kernel's chunk adds
+                # suppress mask — and the timestamp grammar's per-beam
+                # scalars when with_timestamps — fold into the kernel
                 dec = params["decoder"]
+                ts_state = None
+                if with_timestamps:
+                    ts_state = jnp.stack(
+                        [
+                            (s.prev_ts & ~s.prevprev_ts)
+                            .reshape(BK).astype(jnp.int32),
+                            (s.prev_ts & s.prevprev_ts)
+                            .reshape(BK).astype(jnp.int32),
+                            s.max_ts.reshape(BK),
+                            jnp.zeros((BK,), jnp.int32),
+                        ],
+                        axis=1,
+                    )
                 cand_val, cand_tok, lse = head_fn(
                     x_out, dec["ln"]["g"], dec["ln"]["b"],
-                    dec["tok_emb"], sup,
+                    dec["tok_emb"], sup, ts_state,
                 )
             else:
                 masked = logits + sup

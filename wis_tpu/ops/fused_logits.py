@@ -16,9 +16,11 @@ keeps everything else in VMEM:
 
 The caller finishes with one cheap XLA top_k over the NCH*k per-chunk
 candidates — the global top-k of a union is always contained in the
-per-chunk top-ks. Static suppress masks fold in here; the timestamp
-grammar's dynamic masks don't, so with_timestamps programs keep the XLA
-tail (decoding/beam.py).
+per-chunk top-ks. Static suppress masks fold into the chunk adds; the
+timestamp grammar (grammar=True) folds in too — its three rules are
+per-beam int32 scalars (need_ts, need_text, max_ts) compared against the
+chunk's global column ids, so with_timestamps programs keep the fused
+head (decoding/beam.py).
 
 Reference analog: CTranslate2's fused projection+sampling step
 (reference main.py:687-693 delegates to it).
@@ -38,12 +40,24 @@ CHUNK = 512
 KPAD = 8  # per-chunk candidate slots (top-k padded to a sublane tile)
 
 
-def build_fused_logits_topk(cfg: WhisperConfig, *, bk: int, k: int):
+def build_fused_logits_topk(
+    cfg: WhisperConfig,
+    *,
+    bk: int,
+    k: int,
+    grammar: bool = False,
+    ts_base: int = 0,
+    eot: int = 0,
+):
     """Return fn(x (bk, D) f32, ln_g, ln_b (D,), emb (V, D) bf16,
-    sup (1, V_pad) f32) → (cand_val (NCH, bk, KPAD) f32,
-    cand_idx (NCH, bk, KPAD) i32, m (bk, 1) f32, sumexp (bk, 1) f32).
+    sup (1, V_pad) f32[, ts_state (bk, 4) i32]) → (cand_val (bk, k) f32,
+    cand_tok (bk, k) i32, lse (bk, 1) f32).
 
-    logsumexp = m + log(sumexp); candidate logits already include `sup`.
+    grammar=True adds whisper's timestamp grammar as in-kernel masking.
+    ts_state columns: [0] need_ts (next token must be a timestamp, EOT
+    excepted), [1] need_text (next token must not be a timestamp),
+    [2] max_ts (timestamps below this id are suppressed — monotonicity),
+    [3] unused pad. `ts_base`/`eot` are the static token-id constants.
     """
     assert k <= KPAD
     D = cfg.n_text_state
@@ -51,9 +65,11 @@ def build_fused_logits_topk(cfg: WhisperConfig, *, bk: int, k: int):
     nch = (V + CHUNK - 1) // CHUNK
     v_pad = nch * CHUNK
 
-    def kernel(x_in, ln_ref, emb_ref, sup_ref,
-               val_out, idx_out, m_out, s_out,
-               xn, m, sacc):
+    def kernel(x_in, ln_ref, emb_ref, sup_ref, *rest):
+        if grammar:
+            ts_ref = rest[0]
+            rest = rest[1:]
+        (val_out, idx_out, m_out, s_out, xn, m, sacc) = rest
         c = pl.program_id(0)
 
         @pl.when(c == 0)
@@ -76,6 +92,15 @@ def build_fused_logits_topk(cfg: WhisperConfig, *, bk: int, k: int):
         col = jax.lax.broadcasted_iota(jnp.int32, (bk, CHUNK), 1)
         gcol = col + c * CHUNK
         logits = jnp.where(gcol < V, logits, NEG)
+
+        if grammar:
+            is_ts = gcol >= ts_base  # (bk, CHUNK)
+            bad = (
+                ((ts_ref[:, 0:1] > 0) & ~(is_ts | (gcol == eot)))
+                | ((ts_ref[:, 1:2] > 0) & is_ts)
+                | (is_ts & (gcol < ts_ref[:, 2:3]))
+            )
+            logits = jnp.where(bad, NEG, logits)
 
         # online logsumexp
         cm = jnp.max(logits, axis=1, keepdims=True)  # (bk, 1)
@@ -105,17 +130,22 @@ def build_fused_logits_topk(cfg: WhisperConfig, *, bk: int, k: int):
             m_out[:] = m[:]
             s_out[:] = sacc[:]
 
+    in_specs = [
+        pl.BlockSpec((bk, D), lambda c: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, D), lambda c: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((CHUNK, D), lambda c: (c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CHUNK), lambda c: (0, c),
+                     memory_space=pltpu.VMEM),
+    ]
+    if grammar:
+        in_specs.append(
+            pl.BlockSpec((bk, 4), lambda c: (0, 0), memory_space=pltpu.VMEM)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nch,),
-        in_specs=[
-            pl.BlockSpec((bk, D), lambda c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, D), lambda c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, D), lambda c: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK), lambda c: (0, c),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, bk, KPAD), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -143,12 +173,15 @@ def build_fused_logits_topk(cfg: WhisperConfig, *, bk: int, k: int):
         interpret=jax.default_backend() == "cpu",
     )
 
-    def head(x, ln_g, ln_b, emb, sup):
+    def head(x, ln_g, ln_b, emb, sup, ts_state=None):
         """→ (cand_val (bk, k) f32 suppressed logits, cand_tok (bk, k)
         i32, lse (bk, 1) f32) — drop-in for the XLA
         top_k(logits + sup) + logsumexp tail."""
         ln = jnp.stack([ln_g, ln_b]).astype(jnp.float32)
-        cv, ci, m, s = call(x, ln, emb, sup.reshape(1, -1))
+        args = (x, ln, emb, sup.reshape(1, -1))
+        if grammar:
+            args = args + (ts_state,)
+        cv, ci, m, s = call(*args)
         flat_v = cv.transpose(1, 0, 2).reshape(bk, -1)
         flat_i = ci.transpose(1, 0, 2).reshape(bk, -1)
         best, slot = jax.lax.top_k(flat_v, k)
