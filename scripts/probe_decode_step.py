@@ -32,8 +32,8 @@ from wis_tpu.models.whisper.weights import random_params
 from wis_tpu.ops.quant import quantize_whisper_params
 
 STEPS = 16
-K = 5
-B = 1
+K = int(__import__("os").environ.get("PROBE_K", 5))
+B = int(__import__("os").environ.get("PROBE_B", 1))
 BK = B * K
 CACHE_LEN = 100  # prompt 4 + bucket 96 (the bench operating point)
 S = 1500

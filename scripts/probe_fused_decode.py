@@ -334,6 +334,104 @@ def glue(t_cache=128, steps=16, bk=5):
         print(f"glue {name}: {per:.2f} ms/step (compile {compile_s:.0f}s)", flush=True)
 
 
+def timeit_batch(n_seq=4, k=5, t_cache=128, steps=16):
+    """Coalesced-batch fused step (block-diagonal cross-attn) with full
+    production glue: sel-from-ancestry, embedding lookup, fused head."""
+    cfg = WHISPER_CONFIGS["large-v2"]
+    D, H = cfg.n_text_state, cfg.n_text_head
+    Dh = D // H
+    L = cfg.n_text_layer
+    S = 1500
+    s_pad = 1536
+    BK = n_seq * k
+    rng = np.random.default_rng(0)
+    params = quantize_whisper_params(random_params(cfg, seed=0, dtype=jnp.bfloat16))
+    packed = pack_decoder(params, cfg)
+    emb = params["decoder"]["tok_emb"]
+    pos_emb = params["decoder"]["pos"]
+    dec_ln_g = params["decoder"]["ln"]["g"].astype(jnp.float32)
+    dec_ln_b = params["decoder"]["ln"]["b"].astype(jnp.float32)
+    kc0 = jnp.zeros((L, D, BK * t_cache), jnp.bfloat16)
+    vc0 = jnp.zeros((L, D, BK * t_cache), jnp.bfloat16)
+    xak = jnp.asarray(
+        rng.standard_normal((L, H, Dh, n_seq * s_pad)) * 0.1, jnp.bfloat16
+    )
+    xav = jnp.asarray(
+        rng.standard_normal((L, H, Dh, n_seq * s_pad)) * 0.1, jnp.bfloat16
+    )
+    x0 = jnp.asarray(rng.standard_normal((BK, D)) * 0.1, jnp.float32)
+    step = build_fused_decode_step(
+        cfg, bk=BK, t_cache=t_cache, s_audio=S, n_seq=n_seq
+    )
+    from wis_tpu.ops.fused_logits import build_fused_logits_topk
+
+    head = build_fused_logits_topk(cfg, bk=BK, k=k)
+    sup_vec = jnp.zeros((cfg.n_vocab,), jnp.float32)
+
+    @jax.jit
+    def run(packed, x0, kc, vc, xak, xav):
+        anc0 = jnp.where(
+            jnp.arange(t_cache)[None, None, :] < 8,
+            jnp.broadcast_to(
+                jnp.arange(k, dtype=jnp.int32)[None, :, None],
+                (n_seq, k, t_cache),
+            ),
+            -1,
+        )
+        tok0 = jnp.zeros((BK,), jnp.int32)
+
+        def body(carry, _):
+            kc, vc, anc, tok, pos = carry
+            boff = (jnp.arange(n_seq, dtype=jnp.int32) * k)[:, None, None]
+            ganc = jnp.where(anc >= 0, anc + boff, -1)
+            sel = jax.nn.one_hot(
+                ganc.reshape(BK, t_cache), BK, dtype=jnp.float32
+            ).reshape(BK, BK * t_cache)
+            x_in = (
+                jnp.take(emb, tok, axis=0).astype(jnp.float32)
+                + pos_emb[pos].astype(jnp.float32)[None]
+            )
+            x_out, kc, vc = step(packed, x_in, kc, vc, xak, xav, sel, pos)
+            cand_val, cand_tok, lse = head(
+                x_out, dec_ln_g, dec_ln_b, emb, sup_vec
+            )
+            parent = (jnp.arange(k, dtype=jnp.int32) + 1) % k
+            anc = jax.lax.dynamic_update_index_in_dim(
+                anc,
+                jnp.broadcast_to(
+                    jnp.arange(k, dtype=jnp.int32)[None, :], (n_seq, k)
+                ),
+                pos, axis=2,
+            )
+            anc = jnp.take(anc, parent, axis=1)
+            tok = (
+                cand_tok[:, 0].reshape(n_seq, k)[:, parent].reshape(BK)
+                + (lse[0, 0] * 0).astype(jnp.int32)
+            )
+            return (kc, vc, anc, tok, pos + 1), cand_val[:, 0]
+
+        carry, vals = jax.lax.scan(
+            body, (kc0, vc0, anc0, tok0, jnp.int32(8)), None, length=steps
+        )
+        return carry[3], vals[-1]
+
+    t0 = time.perf_counter()
+    np.asarray(run(packed, x0, kc0, vc0, xak, xav)[0])
+    print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
+    times = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        np.asarray(run(packed, x0, kc0, vc0, xak, xav)[0])
+        times.append((time.perf_counter() - t0) * 1000)
+    med = sorted(times)[len(times) // 2]
+    per = (med - 26.0) / steps
+    print(
+        f"fused batch step (n_seq={n_seq}, K={k}, T={t_cache}): "
+        f"{per:.2f} ms/step ({steps}-step scan, "
+        f"raw {['%.1f' % t for t in times]})"
+    )
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "micro"
     if mode == "micro":
@@ -342,5 +440,11 @@ if __name__ == "__main__":
         parts(t_cache=int(sys.argv[2]) if len(sys.argv) > 2 else 128)
     elif mode == "glue":
         glue(t_cache=int(sys.argv[2]) if len(sys.argv) > 2 else 128)
+    elif mode == "batch":
+        timeit_batch(
+            n_seq=int(sys.argv[2]) if len(sys.argv) > 2 else 4,
+            k=int(sys.argv[3]) if len(sys.argv) > 3 else 5,
+            t_cache=int(sys.argv[4]) if len(sys.argv) > 4 else 128,
+        )
     else:
         timeit(t_cache=int(sys.argv[2]) if len(sys.argv) > 2 else 128)

@@ -207,6 +207,46 @@ def test_fused_generate_matches_xla_beam_path():
     )
 
 
+def test_fused_generate_batch2_matches_xla():
+    """Coalesced batch (B=2) through the fused kernel: block-diagonal
+    cross-attention over two audio windows must decode each sequence
+    exactly as the XLA ancestry path does."""
+    from wis_tpu.decoding.beam import build_generate_xa
+
+    cfg = WhisperConfig(
+        name="micro-fused-b2",
+        n_audio_state=D, n_audio_head=H, n_audio_layer=L,
+        n_text_state=D, n_text_head=H, n_text_layer=L,
+        n_audio_ctx=S,
+    )
+    B = 2
+    rng = np.random.default_rng(17)
+    params = quantize_whisper_params(random_params(cfg, seed=17, dtype=jnp.bfloat16))
+    packed = pack_decoder(params, cfg)
+    # two DIFFERENT windows — cross-window leakage would change tokens
+    xa_k = jnp.asarray(rng.standard_normal((L, B, H, DH, S)) * 0.3, jnp.bfloat16)
+    xa_v = jnp.asarray(rng.standard_normal((L, B, H, DH, S)) * 0.3, jnp.bfloat16)
+    prompt = jnp.asarray([[1, 2, 3], [3, 1, 2]], jnp.int32)  # per-row prompts
+
+    allowed = {100, 200, 300, 400, 500, 600}
+    sup = tuple(i for i in range(cfg.n_vocab) if i not in allowed)
+    kw = dict(
+        beam_size=2, batch=B, max_new_tokens=6, prompt_len=3,
+        suppress_tokens=sup, begin_suppress_tokens=(),
+    )
+    rf = build_generate_xa(cfg, **kw, fused=True)(
+        params, packed, (xa_k, xa_v), prompt, jnp.int32(6)
+    )
+    rx = build_generate_xa(cfg, **kw, ancestry=True)(
+        params, (xa_k, xa_v), prompt, jnp.int32(6)
+    )
+    np.testing.assert_array_equal(np.asarray(rf.tokens), np.asarray(rx.tokens))
+    np.testing.assert_array_equal(np.asarray(rf.best), np.asarray(rx.best))
+    np.testing.assert_allclose(
+        np.asarray(rf.scores), np.asarray(rx.scores), rtol=5e-2, atol=5e-2
+    )
+
+
 def test_fused_generate_with_timestamps_matches_xla():
     """with_timestamps through the fused path (grammar inside
     ops/fused_logits) must make the same search decisions as the XLA

@@ -127,15 +127,17 @@ def build_generate_xa(
     large-v2 (BENCH.md). False keeps the physical-reorder path (used by
     equivalence tests).
 
-    fused=True (single-sequence batches only): the per-token decode step
-    runs as ONE Pallas kernel over all layers (ops/fused_decode) — int8
-    weights auto-pipelined, cross-KV and the ancestry cache hand-DMA'd in
-    double-buffered head groups — removing the ~200-small-ops-per-layer
-    XLA overhead of the scanned step. The returned program takes an extra
-    `packed` argument (ops.fused_decode.pack_decoder of the same params).
-    The cache is kept in kernel layout (L, H, Dh, BK, T) with T padded to
-    a 128 multiple; prefill still runs the XLA decoder and the cache is
-    transposed once. Implies ancestry semantics.
+    fused=True: the per-token decode step runs as ONE Pallas kernel over
+    all layers (ops/fused_decode) — int8 weights auto-pipelined, cross-KV
+    and the ancestry cache hand-DMA'd in double-buffered head groups —
+    removing the ~200-small-ops-per-layer XLA overhead of the scanned
+    step. The returned program takes an extra `packed` argument
+    (ops.fused_decode.pack_decoder of the same params). The cache is kept
+    in kernel layout (L, D, T*BK flat time-major) with T padded to a 128
+    multiple; prefill still runs the XLA decoder and the cache is
+    transposed once. Coalesced batches (batch > 1) run block-diagonal
+    cross-attention over the batch's audio windows inside the kernel.
+    Implies ancestry semantics.
     """
     from wis_tpu.models.whisper.tokenizer import NO_TIMESTAMPS, TIMESTAMP_BASE
 
@@ -143,15 +145,14 @@ def build_generate_xa(
     BK = B * K
     cache_len = prompt_len + max_new_tokens
     if fused:
-        if B != 1:
-            raise ValueError("fused decode supports single-sequence batches")
         from wis_tpu.ops.fused_decode import build_fused_decode_step
         from wis_tpu.ops.fused_logits import build_fused_logits_topk
 
         # kernel DMA slices want a lane-aligned flat (beam, time) axis
         cache_len = ((cache_len + 127) // 128) * 128
         step_fn = build_fused_decode_step(
-            cfg, bk=BK, t_cache=cache_len, s_audio=cfg.n_audio_ctx
+            cfg, bk=BK, t_cache=cache_len, s_audio=cfg.n_audio_ctx,
+            n_seq=B,
         )
         # the decode tail (LN + logits + top-k + lse) fuses too; the
         # timestamp grammar folds in as per-beam int32 scalars compared
@@ -193,25 +194,31 @@ def build_generate_xa(
         finished0 = top_tok == EOT
         if fused:
             # kernel layout (L, D, T*BK) flat TIME-MAJOR: heads merged,
-            # each position's K beam columns adjacent — the per-step
-            # cache write is ONE contiguous dynamic_update_slice at
-            # column pos*K on the kernel's aliased pass-through buffers
+            # flat column = t*BK + b*K + k, so each position's BK rows
+            # are adjacent — the per-step cache write is ONE contiguous
+            # column block on the kernel's aliased pass-through buffers
+            def _flat_tmajor(c):  # (L, B, H, Dh, T) → (L, D, T*BK)
+                flat = c.reshape(L, B, H * Dh, cache_len).transpose(
+                    0, 2, 3, 1
+                ).reshape(L, H * Dh, cache_len * B)
+                return jnp.repeat(flat, K, axis=-1)
+
             cache_bk = DecoderCache(
-                jnp.repeat(
-                    cache0.k.reshape(L, H * Dh, cache_len), K, axis=-1
-                ),
-                jnp.repeat(
-                    cache0.v.reshape(L, H * Dh, cache_len), K, axis=-1
-                ),
-                cache0.pos,
+                _flat_tmajor(cache0.k), _flat_tmajor(cache0.v), cache0.pos
             )
-            # cross-KV minor axis zero-padded to tile alignment once per
-            # request (kernel masks the pad columns); hoisted out of the
-            # decode loop
+            # cross-KV: each sequence's window zero-padded to tile
+            # alignment and laid out contiguously along the minor axis
+            # (kernel masks pad + other sequences' columns); hoisted out
+            # of the decode loop
             s_pad = ((cfg.n_audio_ctx + 127) // 128) * 128
-            xa_pad = [(0, 0), (0, 0), (0, 0), (0, s_pad - cfg.n_audio_ctx)]
-            xa_k_f = jnp.pad(xa_kv[0][:, 0], xa_pad)
-            xa_v_f = jnp.pad(xa_kv[1][:, 0], xa_pad)
+            xa_pad = [(0, 0)] * 4 + [(0, s_pad - cfg.n_audio_ctx)]
+
+            def _flat_xa(xa):  # (L, B, H, Dh, S) → (L, H, Dh, B*S_pad)
+                t = jnp.pad(xa.transpose(0, 2, 3, 1, 4), xa_pad)
+                return t.reshape(L, H, Dh, B * s_pad)
+
+            xa_k_f = _flat_xa(xa_kv[0])
+            xa_v_f = _flat_xa(xa_kv[1])
         else:
             cache_bk = DecoderCache(
                 jnp.repeat(cache0.k, K, axis=1),
@@ -248,13 +255,17 @@ def build_generate_xa(
         def body(s: _State) -> _State:
             if fused:
                 # sel from the PRE-update ancestry: the current position
-                # is still -1 (excluded) — the step's own K/V join the
-                # softmax through the kernel's explicit self column.
-                # (K, T, K) reshapes straight to the kernel's time-major
-                # flat columns (t*K + row).
+                # is still -1 (excluded, one_hot of a negative is zero)
+                # — the step's own K/V join the softmax through the
+                # kernel's explicit self column. (BK, T, BK) reshapes
+                # straight to the kernel's time-major flat columns
+                # (t*BK + row); ancestry is per-sequence, so offsetting
+                # by b*K keeps beams inside their own sequence's rows.
+                boff = (jnp.arange(B, dtype=jnp.int32) * K)[:, None, None]
+                ganc = jnp.where(s.anc >= 0, s.anc + boff, -1)
                 sel = jax.nn.one_hot(
-                    s.anc[0], K, dtype=jnp.float32
-                ).reshape(K, K * cache_len)
+                    ganc.reshape(BK, cache_len), BK, dtype=jnp.float32
+                ).reshape(BK, BK * cache_len)
                 dec = params["decoder"]
                 x_emb = (
                     jnp.take(dec["tok_emb"], s.tokens.reshape(BK), axis=0)

@@ -149,6 +149,7 @@ def build_fused_decode_step(
     bk: int,
     t_cache: int,  # cache length, multiple of 128
     s_audio: int = 1500,
+    n_seq: int = 1,
     _skip: tuple = (),  # probe-only: {"w","cache","xa"} disable a stream
 ):
     """Return fn(packed, x_emb, k_cache, v_cache, xa_k, xa_v, sel, pos)
@@ -165,14 +166,23 @@ def build_fused_decode_step(
              dynamic_update_slice costs a full-cache pass per step
              (~0.53 ms on large-v2); the write-back adds only the slab
              write bytes (~0.13 ms) and no XLA op at all.
-    xa_k/xa_v: (L, H, Dh, S_pad) bf16 — precomputed cross-attention K/V,
-             minor axis ZERO-PADDED to the next 128 multiple of s_audio
-             (hand-DMA slices of an HBM memref must be tile-aligned);
-             the kernel masks the pad columns out of the softmax
+    xa_k/xa_v: (L, H, Dh, n_seq*S_pad) bf16 — precomputed cross-attention
+             K/V, each sequence's audio window ZERO-PADDED to the next
+             128 multiple of s_audio and laid out contiguously along the
+             minor axis (hand-DMA slices of an HBM memref must be
+             tile-aligned); the kernel masks the pad columns out of the
+             softmax
     sel:     (BK, BK*T) f32 — 1 where flat column (t*BK + p) belongs to
              the query beam's history (current pos excluded; the step's
              own K/V join via the in-kernel self column)
     pos:     () int32 — the cache position this step writes
+
+    n_seq>1 (coalesced batches): bk = n_seq * beams query rows; row r
+    belongs to sequence r // (bk // n_seq). Cross-attention is
+    block-diagonal — each row attends only to its own sequence's window
+    columns [seq*S_pad, seq*S_pad + s_audio); `sel` keeps self-attention
+    within the sequence (the caller builds it from per-sequence
+    ancestry, so cross-sequence columns are already zero).
     """
     D = cfg.n_text_state
     H = cfg.n_text_head
@@ -180,15 +190,18 @@ def build_fused_decode_step(
     L = cfg.n_text_layer
     F = 4 * D
     assert F == 4 * D
+    assert bk % n_seq == 0, "bk must be n_seq * beams"
+    k_beam = bk // n_seq
     BKT = bk * t_cache
     assert BKT % 128 == 0, "bk * t_cache must be lane-aligned"
     s_pad = ((s_audio + 127) // 128) * 128
+    SX = n_seq * s_pad  # total cross-KV minor width
     scale = Dh**-0.5
 
     # head-group sizes: keep each slice ≤ ~1 MB so 2-slot double buffers
     # for K,V (cache) and K,V (cross) fit well under the ~15 MB VMEM
     g_c = _pick_groups(H, Dh * BKT, 1 << 20)
-    g_x = _pick_groups(H, Dh * s_pad, 1 << 20)
+    g_x = _pick_groups(H, Dh * SX, 1 << 20)
     ng_c = H // g_c
     ng_x = H // g_x
 
@@ -415,12 +428,20 @@ def build_fused_decode_step(
                         preferred_element_type=jnp.float32,
                     )
                     * scale
-                )  # (BK, S_pad)
-                if s_pad != s_audio:
+                )  # (BK, SX)
+                if s_pad != s_audio or n_seq > 1:
                     col = jax.lax.broadcasted_iota(
-                        jnp.int32, (bk, s_pad), 1
+                        jnp.int32, (bk, SX), 1
                     )
-                    scores = jnp.where(col < s_audio, scores, NEG)
+                    ok = col % s_pad < s_audio
+                    if n_seq > 1:
+                        # block-diagonal: row r's sequence owns columns
+                        # [seq*s_pad, (seq+1)*s_pad)
+                        row = jax.lax.broadcasted_iota(
+                            jnp.int32, (bk, SX), 0
+                        )
+                        ok = ok & (col // s_pad == row // k_beam)
+                    scores = jnp.where(ok, scores, NEG)
                 w_att = jax.nn.softmax(scores, axis=-1)
                 ctx_h = jax.lax.dot_general(
                     w_att.astype(jnp.bfloat16),
@@ -506,8 +527,8 @@ def build_fused_decode_step(
             pltpu.VMEM((2, D, D), jnp.int8),       # wbuf
             pltpu.VMEM((2, g_c * Dh, BKT), jnp.bfloat16),     # kbuf
             pltpu.VMEM((2, g_c * Dh, BKT), jnp.bfloat16),     # vbuf
-            pltpu.VMEM((2, g_x, Dh, s_pad), jnp.bfloat16),  # xakbuf
-            pltpu.VMEM((2, g_x, Dh, s_pad), jnp.bfloat16),  # xavbuf
+            pltpu.VMEM((2, g_x, Dh, SX), jnp.bfloat16),  # xakbuf
+            pltpu.VMEM((2, g_x, Dh, SX), jnp.bfloat16),  # xavbuf
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -548,13 +569,15 @@ def build_fused_decode_step(
 # --------------------------------------------------------------------- #
 def fused_decode_step_reference(
     cfg: WhisperConfig, packed: PackedDecoder, x_emb, k_cache, v_cache,
-    xa_k, xa_v, sel, pos=None,
+    xa_k, xa_v, sel, pos=None, n_seq=1, s_audio=None,
 ):
     """Mirror of the kernel math (caches flat (L, D, BK*T), TIME-MAJOR
     columns like the kernel). With `pos` given, also returns the caches
     with this step's K/V written at columns pos*BK + row (matching the
     caller's contiguous dynamic_update_slice); pos=None returns the
-    stacked per-layer K/V columns instead (shape (L, H, BK, Dh))."""
+    stacked per-layer K/V columns instead (shape (L, H, BK, Dh)).
+    n_seq>1: block-diagonal cross-attention over n_seq windows laid out
+    along xa_k/xa_v's minor axis (each s_pad wide, valid up to s_audio)."""
     D = cfg.n_text_state
     H = cfg.n_text_head
     Dh = D // H
@@ -564,6 +587,19 @@ def fused_decode_step_reference(
     kcv = k_cache.reshape(L, H, Dh, bk * t_cache)
     vcv = v_cache.reshape(L, H, Dh, bk * t_cache)
     scale = Dh**-0.5
+    sx = xa_k.shape[-1]
+    s_pad = sx // n_seq
+    if s_audio is None:
+        s_audio = s_pad
+    xa_mask = None
+    if n_seq > 1 or s_audio != s_pad:
+        col = jnp.arange(sx)[None, :]
+        ok = col % s_pad < s_audio
+        if n_seq > 1:
+            ok = ok & (
+                col // s_pad == (jnp.arange(bk) // (bk // n_seq))[:, None]
+            )
+        xa_mask = ok
 
     def wdot(src, l, ci):
         y = jnp.dot(
@@ -619,6 +655,8 @@ def fused_decode_step_reference(
                 )
                 * scale
             )
+            if xa_mask is not None:
+                scores = jnp.where(xa_mask, scores, NEG)
             w_att = jax.nn.softmax(scores, axis=-1)
             ctxs.append(
                 jnp.einsum(
