@@ -114,6 +114,45 @@ def test_coalesced_per_row_max_tokens(engine):
     assert len(capped.text) <= len(uncapped.text)
 
 
+def test_coalesced_fused_matches_xla(engine):
+    """A coalesced batch through the fused kernel (fused_decode="on",
+    interpret mode on CPU, block-diagonal cross-attention) must decode
+    each row exactly as the XLA path does."""
+    settings = APISettings(
+        max_decode_tokens=6,
+        batch_buckets=["1", "2", "4"],
+        batch_window_s=0.05,
+        whisper_model_default="tiny",
+        fused_decode="on",
+    )
+    fused_engine = WhisperEngine(ModelRegistry(settings), settings)
+    reqs = [
+        ASRRequest(audio=_audio(1.0, 50 + i), model="tiny", beam_size=2)
+        for i in range(3)
+    ]
+    got = fused_engine.transcribe_coalesced(reqs)
+    want = engine.transcribe_coalesced(reqs)
+    assert any(
+        k[2] > 1 and k[-1] is True for k in fused_engine._programs
+    ), "expected a fused batch>1 program"
+    for g, w in zip(got, want):
+        assert g.text == w.text
+
+    # mixed detect/translate through the fused B>1 variants
+    mixed = [
+        ASRRequest(audio=_audio(1.0, 60), model="tiny", beam_size=1,
+                   detect_language=True),
+        ASRRequest(audio=_audio(1.0, 61), model="tiny", beam_size=1,
+                   translate=True),
+    ]
+    got_d = fused_engine.transcribe_coalesced([mixed[0], mixed[0]])
+    want_d = engine.transcribe_coalesced([mixed[0], mixed[0]])
+    assert got_d[0].language == want_d[0].language
+    got_t = fused_engine.transcribe_coalesced([mixed[1], mixed[1]])
+    want_t = engine.transcribe_coalesced([mixed[1], mixed[1]])
+    assert got_t[0].translation == want_t[0].translation
+
+
 def test_coalesced_detect_does_not_clobber_forced_language(engine):
     """Detect and forced-language requests coalesce; the per-row detect
     mask keeps the forced row's language (reported and decoded)."""

@@ -110,6 +110,28 @@ def test_asr_flac_fixture(engine, flac_fixture_3s):
     _run(engine, go)
 
 
+def test_asr_word_timestamps(engine):
+    """?word_timestamps=true returns per-word timing dicts (the CT2
+    capability the reference server never exposes)."""
+    async def go(client):
+        import aiohttp
+
+        form = aiohttp.FormData()
+        form.add_field("audio_file", _wav_bytes(), filename="a.wav",
+                       content_type="audio/wav")
+        resp = await client.post(
+            "/api/asr?model=tiny&beam_size=1&word_timestamps=true", data=form
+        )
+        assert resp.status == 200
+        data = await resp.json()
+        assert "words" in data
+        for w in data["words"]:
+            assert set(w) == {"word", "start", "end", "probability"}
+            assert w["end"] >= w["start"] >= 0.0
+
+    _run(engine, go)
+
+
 def test_asr_invalid_force_language(engine):
     async def go(client):
         import aiohttp

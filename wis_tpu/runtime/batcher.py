@@ -41,6 +41,7 @@ class ASRRequest:
     translate: bool = False
     max_tokens: Optional[int] = None
     timestamps: bool = False
+    word_timestamps: bool = False
     future: Future = field(default_factory=Future)
 
     def effective_beam(self, settings: APISettings) -> int:
@@ -57,7 +58,15 @@ class ASRRequest:
         # detect/force/default-language requests DO coalesce: the fused
         # program takes a per-row detect mask, so a detect row never
         # overwrites a neighbor's forced or default language.
-        return (self.model, self.effective_beam(settings), self.timestamps)
+        # word_timestamps requests run an extra per-request alignment
+        # dispatch (engine._word_align) — keyed apart so they never
+        # coalesce (the coalesced path has no alignment support).
+        return (
+            self.model,
+            self.effective_beam(settings),
+            self.timestamps,
+            self.word_timestamps,
+        )
 
 
 class InferenceExecutor:
@@ -127,36 +136,24 @@ class InferenceExecutor:
 
     def _run(self, batch: List[ASRRequest]) -> None:
         try:
-            if len(batch) == 1 and batch[0].is_long():
-                r = batch[0]
-                result = self.engine.transcribe(
-                    r.audio,
-                    model=r.model,
-                    beam_size=r.beam_size,
-                    task=r.task,
-                    detect_language=r.detect_language,
-                    force_language=r.force_language,
-                    translate=r.translate,
-                    max_tokens=r.max_tokens,
-                    timestamps=r.timestamps,
-                )
-                r.future.set_result(result)
-                return
-            if len(batch) == 1:
-                r = batch[0]
-                r.future.set_result(
-                    self.engine.transcribe(
-                        r.audio,
-                        model=r.model,
-                        beam_size=r.beam_size,
-                        task=r.task,
-                        detect_language=r.detect_language,
-                        force_language=r.force_language,
-                        translate=r.translate,
-                        max_tokens=r.max_tokens,
-                        timestamps=r.timestamps,
+            # word_timestamps batches (homogeneous by batch_key) run
+            # per-request: each needs its own alignment dispatch
+            if len(batch) == 1 or batch[0].word_timestamps:
+                for r in batch:
+                    r.future.set_result(
+                        self.engine.transcribe(
+                            r.audio,
+                            model=r.model,
+                            beam_size=r.beam_size,
+                            task=r.task,
+                            detect_language=r.detect_language,
+                            force_language=r.force_language,
+                            translate=r.translate,
+                            max_tokens=r.max_tokens,
+                            timestamps=r.timestamps,
+                            word_timestamps=r.word_timestamps,
+                        )
                     )
-                )
                 return
             logger.debug("BATCHER: coalesced %d requests", len(batch))
             results = self.engine.transcribe_coalesced(batch)

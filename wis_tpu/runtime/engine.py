@@ -41,7 +41,7 @@ from wis_tpu.decoding.beam import trim_tokens
 from wis_tpu.decoding.detect import lang_index_to_code
 from wis_tpu.decoding.fused import build_asr_program, packed_width, unpack_asr_result
 from wis_tpu.languages import to_language_code
-from wis_tpu.models.whisper.tokenizer import build_prompt, parse_segments
+from wis_tpu.models.whisper.tokenizer import EOT, build_prompt, parse_segments
 from wis_tpu.runtime.residency import LoadedModel, ModelRegistry
 from wis_tpu.settings import APISettings, get_api_settings
 from wis_tpu.utils.timing import StageTimer
@@ -62,6 +62,8 @@ class TranscriptionResult:
     timings: Dict[str, float] = field(default_factory=dict)
     #: present when timestamp decoding was requested (single-window only)
     segments: Optional[list] = None
+    #: present when word_timestamps was requested (single-window only)
+    words: Optional[list] = None
 
     def as_tuple(self):
         return (
@@ -101,11 +103,11 @@ class WhisperEngine:
     # ------------------------------------------------------------------ #
     def _use_fused(self, batch: int) -> bool:
         """Single-kernel Pallas decode step (ops/fused_decode): "auto"
-        enables it on TPU for batch-1 programs (the latency path); "on"
-        forces it anywhere batch == 1 (CPU runs in interpret mode — used
-        by tests); "off" disables."""
+        enables it on TPU (batch > 1 runs the block-diagonal cross-attn
+        variant); "on" forces it anywhere (CPU runs in interpret mode —
+        used by tests); "off" disables."""
         mode = getattr(self.settings, "fused_decode", "auto")
-        if mode == "off" or batch != 1:
+        if mode == "off":
             return False
         if mode == "on":
             return True
@@ -324,6 +326,7 @@ class WhisperEngine:
         translate: bool = False,
         max_tokens: Optional[int] = None,
         timestamps: bool = False,
+        word_timestamps: bool = False,
     ) -> TranscriptionResult:
         """audio: 1-D float32 PCM at 16 kHz (decode/resample happens in
         wis_tpu.audio.ingest, off the device path).
@@ -331,7 +334,12 @@ class WhisperEngine:
         timestamps=True decodes with whisper's timestamp grammar and
         returns `segments` ({start, end, text}); supported for
         single-window (≤ 30 s) requests — chunked long-form falls back
-        to text-only decoding."""
+        to text-only decoding.
+
+        word_timestamps=True runs one extra teacher-forced alignment
+        dispatch (decoding/align) and returns `words` ({word, start,
+        end, probability}) — a capability the reference's CT2 engine has
+        but its server never exposes. Single-window requests only."""
         s = self.settings
         timer = StageTimer()
         model_name = model or s.whisper_model_default
@@ -411,6 +419,20 @@ class WhisperEngine:
                 )
 
         language = _normalize_language(language)
+
+        words = None
+        if word_timestamps and not use_chunking:
+            with timer.span("word_align", trace=True):
+                words = self._word_align(
+                    loaded,
+                    windows[0],
+                    results[0],
+                    prompt,
+                    language,
+                    duration_ms,
+                    decode_bucket,
+                )
+
         infer_ms = timer.total_ms()
         speedup = math.floor(duration_ms / infer_ms) if infer_ms > 0 else 0
         return TranscriptionResult(
@@ -422,6 +444,64 @@ class WhisperEngine:
             audio_duration_ms=duration_ms,
             timings=timer.as_dict(),
             segments=segments,
+            words=words,
+        )
+
+    def _word_align(
+        self,
+        loaded: LoadedModel,
+        window_i16: np.ndarray,  # (N_SAMPLES,) int16
+        result: dict,  # one _run_windows entry (best-beam tokens)
+        prompt: np.ndarray,
+        language: str,
+        duration_ms: int,
+        decode_bucket: int,
+    ) -> list:
+        """One teacher-forced alignment dispatch + host DTW (see
+        decoding/align)."""
+        from wis_tpu.decoding.align import (
+            build_align_from_audio,
+            load_alignment_heads,
+            words_from_alignment,
+        )
+
+        prompt_len = int(prompt.shape[0])
+        seq_len = prompt_len + decode_bucket
+        key = (loaded.name, "align", seq_len)
+        prog = self._programs.get(key)
+        if prog is None:
+            with self._compile_lock:
+                prog = self._programs.get(key)
+                if prog is None:
+                    heads = load_alignment_heads(loaded.cfg, loaded.model_dir)
+                    prog = build_align_from_audio(
+                        loaded.cfg, seq_len=seq_len, heads=heads
+                    )
+                    self._programs[key] = prog
+
+        n_gen = int(result["length"])
+        seq = np.full((1, seq_len), EOT, np.int32)
+        seq[0, :prompt_len] = prompt
+        gen = np.asarray(result["tokens"][:decode_bucket], np.int32)
+        seq[0, prompt_len : prompt_len + gen.shape[0]] = gen
+        n_text = prompt_len + min(n_gen, decode_bucket)
+        with self.device_lock:
+            matrix, probs = prog(
+                loaded.params,
+                jnp.asarray(window_i16[None]),
+                jnp.asarray(seq),
+                jnp.int32(n_text),
+            )
+            matrix = np.asarray(matrix)
+            probs = np.asarray(probs)
+        return words_from_alignment(
+            loaded.tokenizer,
+            gen[: max(n_gen, 0)],
+            matrix,
+            probs,
+            prompt_len,
+            n_frames=max(2, duration_ms // 20),
+            language=language,
         )
 
     # ------------------------------------------------------------------ #

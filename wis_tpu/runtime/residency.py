@@ -48,6 +48,9 @@ class LoadedModel:
     #: kernel-layout decoder weights for the fused decode step
     #: (ops/fused_decode.pack_decoder) — filled lazily by the engine
     packed: object = None
+    #: checkpoint directory (None when seeded-random); lets the engine
+    #: pick up optional per-checkpoint assets (alignment_heads.json)
+    model_dir: Optional[str] = None
 
 
 class ModelRegistry:
@@ -130,7 +133,10 @@ class ModelRegistry:
             param_bytes = sum(
                 a.size * a.dtype.itemsize for a in jax.tree.leaves(params)
             )
-            model = LoadedModel(size, cfg, params, self.tokenizer(), param_bytes)
+            model = LoadedModel(
+                size, cfg, params, self.tokenizer(), param_bytes,
+                model_dir=self._model_dir(size),
+            )
             self._models[size] = model
             return model
 

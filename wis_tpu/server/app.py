@@ -94,6 +94,7 @@ async def asr(request: web.Request) -> web.Response:
     force_language = request.query.get("force_language")
     translate = _qbool(request, "translate", False)
     timestamps = _qbool(request, "timestamps", False)
+    word_timestamps = _qbool(request, "word_timestamps", False)
 
     if force_language and not check_language(force_language):
         return web.json_response({"error": "Invalid force_language"}, status=400)
@@ -124,6 +125,7 @@ async def asr(request: web.Request) -> web.Response:
                 force_language=force_language,
                 translate=translate,
                 timestamps=timestamps,
+                word_timestamps=word_timestamps,
             ),
         )
     except KeyError:
@@ -131,6 +133,8 @@ async def asr(request: web.Request) -> web.Response:
     payload = _asr_response(result)
     if timestamps and result.segments is not None:
         payload["segments"] = result.segments
+    if word_timestamps and result.words is not None:
+        payload["words"] = result.words
     return web.json_response(payload)
 
 

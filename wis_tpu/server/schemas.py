@@ -61,6 +61,8 @@ def openapi_document(settings) -> dict:
                             "beam_size",
                             "force_language",
                             "translate",
+                            "timestamps",
+                            "word_timestamps",
                         )
                     ],
                     "responses": {"200": {"description": "ASR engine output"}},
