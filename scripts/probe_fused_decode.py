@@ -27,11 +27,12 @@ from wis_tpu.ops.fused_decode import (
     build_fused_decode_step,
     fused_decode_step_reference,
     pack_decoder,
+    pack_decoder4,
 )
 from wis_tpu.ops.quant import quantize_whisper_params
 
 
-def micro():
+def micro(wbits=8):
     cfg = WhisperConfig(
         name="micro-fused-step",
         n_audio_state=128, n_audio_head=2, n_audio_layer=2,
@@ -52,7 +53,9 @@ def micro():
     sel[:, :9] = np.eye(BK)[:, None, :]
     sel = jnp.asarray(sel.reshape(BK, BK * T))
 
-    step = build_fused_decode_step(cfg, bk=BK, t_cache=T, s_audio=S)
+    if wbits == 4:
+        packed = pack_decoder4(params, cfg)
+    step = build_fused_decode_step(cfg, bk=BK, t_cache=T, s_audio=S, wbits=wbits)
     x_out, k_new, v_new = jax.jit(step)(
         packed, x_emb, kc, vc, xak, xav, sel, jnp.int32(9)
     )
@@ -68,7 +71,7 @@ def micro():
     print("micro OK")
 
 
-def timeit(t_cache=128, steps=16, bk=5):
+def timeit(t_cache=128, steps=16, bk=5, wbits=8):
     cfg = WHISPER_CONFIGS["large-v2"]
     D = cfg.n_text_state
     H = cfg.n_text_head
@@ -78,7 +81,7 @@ def timeit(t_cache=128, steps=16, bk=5):
     K = bk
     rng = np.random.default_rng(0)
     params = quantize_whisper_params(random_params(cfg, seed=0, dtype=jnp.bfloat16))
-    packed = pack_decoder(params, cfg)
+    packed = (pack_decoder4 if wbits == 4 else pack_decoder)(params, cfg)
     dec_ln_g = params["decoder"]["ln"]["g"].astype(jnp.float32)
     dec_ln_b = params["decoder"]["ln"]["b"].astype(jnp.float32)
     emb = params["decoder"]["tok_emb"]
@@ -96,7 +99,7 @@ def timeit(t_cache=128, steps=16, bk=5):
         jnp.bfloat16,
     )
 
-    step = build_fused_decode_step(cfg, bk=K, t_cache=t_cache, s_audio=S)
+    step = build_fused_decode_step(cfg, bk=K, t_cache=t_cache, s_audio=S, wbits=wbits)
 
     @jax.jit
     def run(packed, kc, vc, xak, xav):
@@ -153,7 +156,7 @@ def timeit(t_cache=128, steps=16, bk=5):
     med = sorted(times)[len(times) // 2]
     per = (med - 26.0) / steps
     print(
-        f"fused step (T={t_cache}, K={bk}): {per:.2f} ms/step "
+        f"fused step (T={t_cache}, K={bk}, w{wbits}): {per:.2f} ms/step "
         f"({steps}-step scan, raw {['%.1f' % t for t in times]})"
     )
 
@@ -436,6 +439,12 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "micro"
     if mode == "micro":
         micro()
+    elif mode == "micro4":
+        micro(wbits=4)
+    elif mode == "time4":
+        timeit(
+            t_cache=int(sys.argv[2]) if len(sys.argv) > 2 else 128, wbits=4
+        )
     elif mode == "parts":
         parts(t_cache=int(sys.argv[2]) if len(sys.argv) > 2 else 128)
     elif mode == "glue":

@@ -102,8 +102,13 @@ def build_generate_xa(
     with_timestamps: bool = False,
     ancestry: bool = True,
     fused: bool = False,
+    wbits: int = 8,
 ):
     """Return a jitted generate(params, xa_kv, prompt, token_cap) program.
+
+    wbits=4 (fused only): the decode kernel streams nibble-packed int4
+    weights (PackedDecoder4 from ops.fused_decode.pack_decoder4) —
+    halves the per-token weight DMA at a small weight-quantization cost.
 
     xa_kv: precomputed cross-attention K/V for `batch` windows (from
     build_encode); prompt: (prompt_len,) shared across the batch (the
@@ -139,7 +144,13 @@ def build_generate_xa(
     cross-attention over the batch's audio windows inside the kernel.
     Implies ancestry semantics.
     """
-    from wis_tpu.models.whisper.tokenizer import NO_TIMESTAMPS, TIMESTAMP_BASE
+    from wis_tpu.models.whisper.tokenizer import layout_for_vocab
+
+    # layout-dependent special ids (the v3 vocabulary shifts the
+    # task/timestamp block up by one; EOT is layout-invariant)
+    _lay = layout_for_vocab(cfg.n_vocab)
+    NO_TIMESTAMPS = _lay.no_timestamps
+    TIMESTAMP_BASE = _lay.timestamp_base
 
     K, B = beam_size, batch
     BK = B * K
@@ -152,7 +163,7 @@ def build_generate_xa(
         cache_len = ((cache_len + 127) // 128) * 128
         step_fn = build_fused_decode_step(
             cfg, bk=BK, t_cache=cache_len, s_audio=cfg.n_audio_ctx,
-            n_seq=B,
+            n_seq=B, wbits=wbits,
         )
         # the decode tail (LN + logits + top-k + lse) fuses too; the
         # timestamp grammar folds in as per-beam int32 scalars compared

@@ -16,9 +16,15 @@ import numpy as np
 
 from wis_tpu.models.whisper.config import WhisperConfig
 from wis_tpu.models.whisper.model import DecoderCache, cross_kv, encode, prefill
-from wis_tpu.models.whisper.tokenizer import LANG_BASE, LANG_TOKEN, SOT
+from wis_tpu.models.whisper.tokenizer import (
+    LANG_BASE,
+    LANG_TOKEN,
+    SOT,
+    _LANG_CODES_V3,
+    layout_for_vocab,
+)
 
-N_LANG = len(LANG_TOKEN)
+N_LANG = len(LANG_TOKEN)  # v2 layout (99); per-model count comes from cfg
 
 
 def build_detect_language_xa(cfg: WhisperConfig):
@@ -41,8 +47,9 @@ def _detect_from_kv(params, xa_kv, cfg):
     cache = DecoderCache.zeros(cfg, b, 1, dtype)
     sot = jnp.full((b, 1), SOT, jnp.int32)
     logits, _ = prefill(params, sot, cache, xa_kv, cfg)
+    n_lang = layout_for_vocab(cfg.n_vocab).n_langs
     lang_logits = jax.lax.dynamic_slice_in_dim(
-        logits[:, -1], LANG_BASE, N_LANG, axis=-1
+        logits[:, -1], LANG_BASE, n_lang, axis=-1
     )
     probs = jax.nn.softmax(lang_logits, axis=-1)
     idx = jnp.argmax(probs, axis=-1)
@@ -64,7 +71,7 @@ def build_detect_language(cfg: WhisperConfig):
         sot = jnp.full((b, 1), SOT, jnp.int32)
         logits, _ = prefill(params, sot, cache, xa_kv, cfg)
         lang_logits = jax.lax.dynamic_slice_in_dim(
-            logits[:, -1], LANG_BASE, N_LANG, axis=-1
+            logits[:, -1], LANG_BASE, layout_for_vocab(cfg.n_vocab).n_langs, axis=-1
         )
         probs = jax.nn.softmax(lang_logits, axis=-1)
         idx = jnp.argmax(probs, axis=-1)
@@ -75,8 +82,6 @@ def build_detect_language(cfg: WhisperConfig):
     return detect
 
 
-_LANG_CODES = list(LANG_TOKEN.keys())
-
-
 def lang_index_to_code(idx: int) -> str:
-    return _LANG_CODES[int(idx)]
+    # index 99 (<|yue|>) only arises from v3-layout models
+    return _LANG_CODES_V3[int(idx)]

@@ -50,6 +50,7 @@ def build_asr_program(
     length_penalty: float = 1.0,
     with_timestamps: bool = False,
     fused_step: bool = False,
+    wbits: int = 8,
 ):
     """Return jitted asr(params, audio_i16 (B, n_samples), prompt (B, P),
     token_cap) → packed int32 (B, W) with W = K*max_new + K + 3, doubled
@@ -62,7 +63,9 @@ def build_asr_program(
     all-layers Pallas kernel (ops/fused_decode); the program then takes a
     `packed` PackedDecoder argument right after `params`.
     """
-    from wis_tpu.models.whisper.tokenizer import TRANSLATE
+    from wis_tpu.models.whisper.tokenizer import layout_for_vocab
+
+    TRANSLATE = layout_for_vocab(cfg.n_vocab).translate
 
     K = beam_size
     gen = build_generate_xa(
@@ -76,6 +79,7 @@ def build_asr_program(
         length_penalty=length_penalty,
         with_timestamps=with_timestamps,
         fused=fused_step,
+        wbits=wbits,
     )
 
     def _asr(params, packed_dec, audio_i16, prompt, token_cap, detect_mask):

@@ -34,6 +34,10 @@ for _entry in _TABLE.split():
     _code, _name = _entry.split(":")
     LANGUAGES[_code] = _name.replace("_", " ")
 
+#: languages only representable on v3-layout models (<|yue|> is language
+#: token #100, added by large-v3; v2 prompts fall back to <|en|>)
+EXTRA_V3_LANGUAGES: dict = {"yue": "cantonese"}
+
 #: language name (and alias) -> code
 TO_LANGUAGE_CODE: dict = {name: code for code, name in LANGUAGES.items()}
 TO_LANGUAGE_CODE.update(
@@ -49,6 +53,7 @@ TO_LANGUAGE_CODE.update(
         "moldovan": "ro",
         "sinhalese": "si",
         "castilian": "es",
+        "cantonese": "yue",
     }
 )
 
@@ -59,13 +64,15 @@ def check_language(language: str) -> bool:
     if not language:
         return False
     lang = language.strip().lower()
-    return lang in LANGUAGES or lang in TO_LANGUAGE_CODE
+    return (
+        lang in LANGUAGES or lang in TO_LANGUAGE_CODE or lang in EXTRA_V3_LANGUAGES
+    )
 
 
 def to_language_code(language: str) -> str:
     """Normalize a code or natural name to a Whisper language code."""
     lang = language.strip().lower()
-    if lang in LANGUAGES:
+    if lang in LANGUAGES or lang in EXTRA_V3_LANGUAGES:
         return lang
     if lang in TO_LANGUAGE_CODE:
         return TO_LANGUAGE_CODE[lang]

@@ -39,25 +39,39 @@ class WhisperConfig:
         return (enc + dec + emb) * bytes_per_param
 
 
-def _cfg(name, d, h, l) -> WhisperConfig:
+def _cfg(name, d, h, l, *, dec_layers=None, n_mels=80, n_vocab=51865) -> WhisperConfig:
     return WhisperConfig(
         name=name,
+        n_mels=n_mels,
+        n_vocab=n_vocab,
         n_audio_state=d,
         n_audio_head=h,
         n_audio_layer=l,
         n_text_state=d,
         n_text_head=h,
-        n_text_layer=l,
+        n_text_layer=dec_layers if dec_layers is not None else l,
     )
 
 
 WHISPER_CONFIGS = {
+    # The five sizes the reference serves (main.py:319-448), v2 layout.
     "tiny": _cfg("tiny", 384, 6, 4),
     "base": _cfg("base", 512, 8, 6),
     "small": _cfg("small", 768, 12, 12),
     "medium": _cfg("medium", 1024, 16, 24),
     "large": _cfg("large", 1280, 20, 32),  # large == large-v2 (reference naming)
     "large-v2": _cfg("large-v2", 1280, 20, 32),
+    # Beyond the reference: the v3 family (128 mel bins, 51866-token
+    # vocabulary with <|yue|>) and the distilled decoders. Architecture
+    # hyperparameters are public OpenAI/HF model metadata.
+    "large-v3": _cfg("large-v3", 1280, 20, 32, n_mels=128, n_vocab=51866),
+    "large-v3-turbo": _cfg(
+        "large-v3-turbo", 1280, 20, 32, dec_layers=4, n_mels=128, n_vocab=51866
+    ),
+    "distil-large-v2": _cfg("distil-large-v2", 1280, 20, 32, dec_layers=2),
+    "distil-large-v3": _cfg(
+        "distil-large-v3", 1280, 20, 32, dec_layers=2, n_mels=128, n_vocab=51866
+    ),
 }
 
 #: model alias normalization (the reference accepts exactly these strings,
@@ -66,6 +80,8 @@ def resolve_model_name(name: str) -> str:
     name = (name or "").strip().lower()
     if name == "large-v2":
         return "large"
+    if name == "turbo":
+        return "large-v3-turbo"
     if name in WHISPER_CONFIGS:
         return name
     raise KeyError(f"Unknown whisper model: {name!r}")

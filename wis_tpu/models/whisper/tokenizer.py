@@ -27,22 +27,110 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from wis_tpu.languages import LANGUAGES
 
 # ----------------------------------------------------------------------- #
-# Public multilingual-v2 vocabulary layout (OpenAI Whisper constants)
+# Public multilingual vocabulary layouts (OpenAI Whisper constants).
+#
+# v2 (tiny..large-v2, distil-large-v2): 99 language tokens, vocab 51865.
+# v3 (large-v3, large-v3-turbo): adds <|yue|> as language #100, shifting
+# every special token after the language block up by one (vocab 51866).
+# EOT/SOT/LANG_BASE are identical across layouts — only the task /
+# timestamp block moves.
 # ----------------------------------------------------------------------- #
 N_BASE_VOCAB = 50257  # GPT-2 byte-level BPE tokens
 EOT = 50257  # <|endoftext|>
 SOT = 50258  # <|startoftranscript|>
-LANG_BASE = 50259  # <|en|> .. 99 language tokens in registry order
-TRANSLATE = 50358
-TRANSCRIBE = 50359
-SOT_LM = 50360
-SOT_PREV = 50361
-NO_SPEECH = 50362
-NO_TIMESTAMPS = 50363
-TIMESTAMP_BASE = 50364  # <|0.00|> .. <|30.00|>
-N_VOCAB = 51865
+LANG_BASE = 50259  # <|en|> .. language tokens in registry order
 
 _LANG_CODES = list(LANGUAGES.keys())
+_LANG_CODES_V3 = _LANG_CODES + ["yue"]  # Cantonese, added by large-v3
+N_TIMESTAMPS = 1501  # <|0.00|> .. <|30.00|> in 20 ms steps
+
+
+@dataclass(frozen=True)
+class VocabLayout:
+    """Derived special-token ids for a given language-token count."""
+
+    n_langs: int
+
+    @property
+    def eot(self) -> int:
+        return EOT
+
+    @property
+    def sot(self) -> int:
+        return SOT
+
+    @property
+    def lang_base(self) -> int:
+        return LANG_BASE
+
+    @property
+    def translate(self) -> int:
+        return LANG_BASE + self.n_langs
+
+    @property
+    def transcribe(self) -> int:
+        return self.translate + 1
+
+    @property
+    def sot_lm(self) -> int:
+        return self.translate + 2
+
+    @property
+    def sot_prev(self) -> int:
+        return self.translate + 3
+
+    @property
+    def no_speech(self) -> int:
+        return self.translate + 4
+
+    @property
+    def no_timestamps(self) -> int:
+        return self.translate + 5
+
+    @property
+    def timestamp_base(self) -> int:
+        return self.translate + 6
+
+    @property
+    def n_vocab(self) -> int:
+        return self.timestamp_base + N_TIMESTAMPS
+
+    @property
+    def lang_codes(self) -> List[str]:
+        return _LANG_CODES_V3[: self.n_langs]
+
+    def lang_token(self, code: str) -> int:
+        codes = self.lang_codes
+        try:
+            return LANG_BASE + codes.index(code)
+        except ValueError:
+            return LANG_BASE + codes.index("en")
+
+
+V2_LAYOUT = VocabLayout(n_langs=99)
+V3_LAYOUT = VocabLayout(n_langs=100)
+
+
+def layout_for_vocab(n_vocab: int) -> VocabLayout:
+    """Map a config's vocabulary size to its special-token layout."""
+    if n_vocab == V3_LAYOUT.n_vocab:
+        return V3_LAYOUT
+    if n_vocab == V2_LAYOUT.n_vocab:
+        return V2_LAYOUT
+    raise ValueError(f"No known whisper vocab layout of size {n_vocab}")
+
+
+# Module-level v2 constants (the reference's five sizes all use this
+# layout; kept as plain ints for the many v2-only call sites).
+TRANSLATE = V2_LAYOUT.translate  # 50358
+TRANSCRIBE = V2_LAYOUT.transcribe  # 50359
+SOT_LM = V2_LAYOUT.sot_lm  # 50360
+SOT_PREV = V2_LAYOUT.sot_prev  # 50361
+NO_SPEECH = V2_LAYOUT.no_speech  # 50362
+NO_TIMESTAMPS = V2_LAYOUT.no_timestamps  # 50363
+TIMESTAMP_BASE = V2_LAYOUT.timestamp_base  # 50364
+N_VOCAB = V2_LAYOUT.n_vocab  # 51865
+
 LANG_TOKEN = {code: LANG_BASE + i for i, code in enumerate(_LANG_CODES)}
 TOKEN_LANG = {v: k for k, v in LANG_TOKEN.items()}
 
@@ -60,6 +148,26 @@ DEFAULT_SUPPRESS_TOKENS: Tuple[int, ...] = (
     50362,
 )
 DEFAULT_BEGIN_SUPPRESS: Tuple[int, ...] = (220, EOT)
+
+#: the BPE-symbol half of the default suppress list (ids < EOT are
+#: layout-independent; the special-token tail shifts with the layout)
+_SUPPRESS_SYMBOLS: Tuple[int, ...] = tuple(
+    t for t in DEFAULT_SUPPRESS_TOKENS if t < EOT
+)
+
+
+def default_suppress_tokens(layout: VocabLayout = V2_LAYOUT) -> Tuple[int, ...]:
+    """The HF `generation_config.json` suppress list for a layout: the
+    symbol ids are vocabulary-shared across v2/v3; the special-token tail
+    (SOT + task/history/no-speech markers) is computed from the layout."""
+    return _SUPPRESS_SYMBOLS + (
+        layout.sot,
+        layout.translate,
+        layout.transcribe,
+        layout.sot_lm,
+        layout.sot_prev,
+        layout.no_speech,
+    )
 
 
 @lru_cache(maxsize=1)
@@ -84,6 +192,8 @@ def parse_segments(tokenizer: "WhisperTokenizer", ids: Sequence[int]) -> List[di
     """Split a timestamped token stream into segments:
     <|t0|> text <|t1|> [<|t2|> text <|t3|> ...] →
     [{"start": s, "end": e, "text": ...}, ...]."""
+    lay = tokenizer.layout
+    TIMESTAMP_BASE, N_VOCAB = lay.timestamp_base, lay.n_vocab
     segments: List[dict] = []
     start: float = 0.0
     current: List[int] = []
@@ -117,15 +227,18 @@ def parse_segments(tokenizer: "WhisperTokenizer", ids: Sequence[int]) -> List[di
 
 
 def build_prompt(
-    language: str = "en", task: str = "transcribe", notimestamps: bool = True
+    language: str = "en",
+    task: str = "transcribe",
+    notimestamps: bool = True,
+    layout: VocabLayout = V2_LAYOUT,
 ) -> List[int]:
     """<|startoftranscript|><|lang|><|task|>[<|notimestamps|>] — the prompt
     the reference builds via the HF tokenizer (reference main.py:656-663)."""
-    lang_tok = LANG_TOKEN.get(language, LANG_TOKEN["en"])
-    task_tok = TRANSLATE if task == "translate" else TRANSCRIBE
+    lang_tok = layout.lang_token(language)
+    task_tok = layout.translate if task == "translate" else layout.transcribe
     ids = [SOT, lang_tok, task_tok]
     if notimestamps:
-        ids.append(NO_TIMESTAMPS)
+        ids.append(layout.no_timestamps)
     return ids
 
 
@@ -137,17 +250,27 @@ class WhisperTokenizer:
     merges: Optional[Dict[Tuple[str, str], int]] = None  # pair -> rank
     suppress_tokens: Tuple[int, ...] = DEFAULT_SUPPRESS_TOKENS
     begin_suppress_tokens: Tuple[int, ...] = DEFAULT_BEGIN_SUPPRESS
+    layout: VocabLayout = V2_LAYOUT
     _id_to_token: Dict[int, str] = field(default_factory=dict)
 
     def __post_init__(self):
         if self.vocab:
             self._id_to_token = {v: k for k, v in self.vocab.items()}
+        # a non-v2 layout shifts the special-token tail of the default
+        # suppress list; recompute unless the caller overrode it
+        if (
+            self.layout is not V2_LAYOUT
+            and self.suppress_tokens == DEFAULT_SUPPRESS_TOKENS
+        ):
+            self.suppress_tokens = default_suppress_tokens(self.layout)
 
     # ------------------------------------------------------------------ #
     # Loading
     # ------------------------------------------------------------------ #
     @classmethod
-    def from_dir(cls, model_dir: str) -> "WhisperTokenizer":
+    def from_dir(
+        cls, model_dir: str, layout: VocabLayout = V2_LAYOUT
+    ) -> "WhisperTokenizer":
         """Load from an HF-format model directory (vocab.json+merges.txt or
         tokenizer.json); fall back to the placeholder vocab."""
         vocab = merges = None
@@ -188,6 +311,7 @@ class WhisperTokenizer:
             merges=merges,
             suppress_tokens=suppress,
             begin_suppress_tokens=begin_suppress,
+            layout=layout,
         )
 
     # ------------------------------------------------------------------ #
@@ -197,7 +321,7 @@ class WhisperTokenizer:
     def all_special_ids(self) -> frozenset:
         """Every id >= EOT (specials + timestamps) — the set the reference's
         LCS merge filters out (reference wis/audio.py:141-146)."""
-        return frozenset(range(EOT, N_VOCAB))
+        return frozenset(range(EOT, self.layout.n_vocab))
 
     # ------------------------------------------------------------------ #
     # Decode
@@ -223,20 +347,21 @@ class WhisperTokenizer:
         return f"Ġt{i}" if i % 7 == 0 else f"t{i}"
 
     def _special_str(self, i: int) -> str:
+        lay = self.layout
         if i == EOT:
             return "<|endoftext|>"
         if i == SOT:
             return "<|startoftranscript|>"
-        if i in TOKEN_LANG:
-            return f"<|{TOKEN_LANG[i]}|>"
-        if i == TRANSLATE:
+        if LANG_BASE <= i < LANG_BASE + lay.n_langs:
+            return f"<|{lay.lang_codes[i - LANG_BASE]}|>"
+        if i == lay.translate:
             return "<|translate|>"
-        if i == TRANSCRIBE:
+        if i == lay.transcribe:
             return "<|transcribe|>"
-        if i == NO_TIMESTAMPS:
+        if i == lay.no_timestamps:
             return "<|notimestamps|>"
-        if i >= TIMESTAMP_BASE:
-            return f"<|{(i - TIMESTAMP_BASE) * 0.02:.2f}|>"
+        if i >= lay.timestamp_base:
+            return f"<|{(i - lay.timestamp_base) * 0.02:.2f}|>"
         return f"<|{i}|>"
 
     # ------------------------------------------------------------------ #

@@ -130,6 +130,66 @@ def quantize_whisper_params(params: Dict, keys=None, subtrees=("decoder",)) -> D
     return out
 
 
+# --------------------------------------------------------------------------- #
+# int4 (nibble-packed, group-wise scales) — fused-decode weight stream only
+# --------------------------------------------------------------------------- #
+def int4_group_size(k: int) -> int:
+    """Scale-group length along K: 128 when it divides the nibble half,
+    else the half itself (small test configs)."""
+    half = k // 2
+    return 128 if half % 128 == 0 else half
+
+
+def quantize_weight_int4(w: jnp.ndarray, group: int = None):
+    """Symmetric int4 with group-wise scales over the K (contraction)
+    axis: w (K, N) → q4 int8 (K//2, N) with byte[r, n] packing
+    q[r] in the LOW nibble and q[r + K//2] in the HIGH nibble, plus
+    s4 f32 (K//group, N). Values clip to [-7, 7] (symmetric grid).
+
+    Halves the decode-step weight-stream bytes vs int8; the fused kernel
+    (ops/fused_decode, wbits=4) unpacks nibbles in-register and applies
+    the group scales on per-group partial dots. Weight-only, RTN — the
+    XLA paths (prefill/encoder) keep int8.
+    """
+    w32 = jnp.asarray(w).astype(jnp.float32)
+    k = w32.shape[-2]
+    assert k % 2 == 0
+    group = group or int4_group_size(k)
+    assert k % group == 0 and (k // 2) % group == 0, (k, group)
+    g = k // group
+    grouped = w32.reshape(w32.shape[:-2] + (g, group, w32.shape[-1]))
+    absmax = jnp.max(jnp.abs(grouped), axis=-2, keepdims=True)
+    s4 = jnp.maximum(absmax, 1e-8) / 7.0  # (..., G, 1, N)
+    q = jnp.clip(jnp.rint(grouped / s4), -7, 7).astype(jnp.int32)
+    q = q.reshape(w32.shape)  # back to (..., K, N)
+    lo = q[..., : k // 2, :]
+    hi = q[..., k // 2 :, :]
+    packed = ((lo & 0xF) | (hi << 4)).astype(jnp.int8)
+    return packed, s4[..., 0, :]
+
+
+def unpack_int4(q4: jnp.ndarray):
+    """(..., K//2, N) packed int8 → (lo, hi) int32 nibbles, sign-extended
+    (the XLA mirror of the kernel's in-register unpack)."""
+    v = q4.astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(v, 28), 28)
+    hi = jax.lax.shift_right_arithmetic(jax.lax.shift_left(v, 24), 28)
+    return lo, hi
+
+
+def dequantize_int4(q4: jnp.ndarray, s4: jnp.ndarray, dtype=jnp.float32):
+    """Inverse of quantize_weight_int4 → (..., K, N) effective weights."""
+    lo, hi = unpack_int4(q4)
+    q = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)  # (..., K, N)
+    k = q.shape[-2]
+    g = s4.shape[-2]
+    group = k // g
+    q = q.reshape(q.shape[:-2] + (g, group, q.shape[-1]))
+    return (q * s4[..., :, None, :]).reshape(
+        q.shape[:-3] + (k, q.shape[-1])
+    ).astype(dtype)
+
+
 def quantized_bytes(params: Dict) -> int:
     total = 0
     for leaf in jax.tree.leaves(params):

@@ -144,21 +144,30 @@ class WhisperEngine:
                 translate=translate,
                 with_timestamps=timestamps,
                 fused_step=fused,
+                wbits=self._wbits() if fused else 8,
             )
             self._programs[key] = prog
             return prog, fused
 
+    def _wbits(self) -> int:
+        """Fused decode-step weight width: settings.quant="int4" streams
+        nibble-packed weights through the kernel (halving its dominant
+        DMA cost); every other path (prefill, encoder, detect) keeps the
+        int8 tree."""
+        return 4 if self.settings.quant == "int4" else 8
+
     def _packed_decoder(self, model: LoadedModel):
         """Kernel-layout decoder weights, repacked once per model (HBM
-        cost ≈ the decoder's int8 bytes again; the XLA paths — prefill,
+        cost ≈ the decoder's packed bytes again; the XLA paths — prefill,
         encoder, detect — still read the original tree)."""
         if model.packed is None:
             import jax
 
-            from wis_tpu.ops.fused_decode import pack_decoder
+            from wis_tpu.ops.fused_decode import pack_decoder, pack_decoder4
 
+            pack = pack_decoder4 if self._wbits() == 4 else pack_decoder
             model.packed = jax.jit(
-                lambda p: pack_decoder(p, model.cfg)
+                lambda p: pack(p, model.cfg)
             )(model.params)
         return model.packed
 
@@ -379,7 +388,10 @@ class WhisperEngine:
             language = to_language_code(force_language)
         use_ts = bool(timestamps and not use_chunking)
         prompt = np.asarray(
-            build_prompt(language, task, notimestamps=not use_ts), np.int32
+            build_prompt(
+                language, task, notimestamps=not use_ts, layout=tok.layout
+            ),
+            np.int32,
         )
         prompts = np.tile(prompt[None], (n, 1))
 
@@ -542,7 +554,11 @@ class WhisperEngine:
             if r.force_language:
                 lang = to_language_code(r.force_language)
             languages.append(lang)
-            prompts.append(build_prompt(lang, r.task, notimestamps=not use_ts))
+            prompts.append(
+                build_prompt(
+                    lang, r.task, notimestamps=not use_ts, layout=tok.layout
+                )
+            )
         prompts = np.asarray(prompts, np.int32)
 
         # batch-wide decode budget covers the largest explicit cap (so no

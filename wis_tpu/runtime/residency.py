@@ -28,7 +28,7 @@ from wis_tpu.models.whisper.config import (
     WhisperConfig,
     resolve_model_name,
 )
-from wis_tpu.models.whisper.tokenizer import WhisperTokenizer
+from wis_tpu.models.whisper.tokenizer import WhisperTokenizer, layout_for_vocab
 from wis_tpu.models.whisper.weights import load_or_init_params
 from wis_tpu.settings import APISettings, get_api_settings
 
@@ -124,7 +124,10 @@ class ModelRegistry:
             params = load_or_init_params(
                 cfg, self._model_dir(size), seed=hash(size) % 2**31, dtype=self.dtype
             )
-            if self.settings.quant == "int8":
+            if self.settings.quant in ("int8", "int4"):
+                # int4 applies only to the fused decode-step stream (the
+                # engine packs PackedDecoder4 from these int8 leaves);
+                # the XLA-visible tree stays int8 either way
                 from wis_tpu.ops.quant import quantize_whisper_params
 
                 params = quantize_whisper_params(params)
@@ -133,8 +136,19 @@ class ModelRegistry:
             param_bytes = sum(
                 a.size * a.dtype.itemsize for a in jax.tree.leaves(params)
             )
+            lay = layout_for_vocab(cfg.n_vocab)
+            tok = self.tokenizer()
+            if tok.layout is not lay:
+                # v3-layout models carry their own tokenizer (the vocab
+                # adds <|yue|> and shifts the task/timestamp specials)
+                d = self._model_dir(size)
+                tok = (
+                    WhisperTokenizer.from_dir(d, layout=lay)
+                    if d
+                    else WhisperTokenizer(layout=lay)
+                )
             model = LoadedModel(
-                size, cfg, params, self.tokenizer(), param_bytes,
+                size, cfg, params, tok, param_bytes,
                 model_dir=self._model_dir(size),
             )
             self._models[size] = model

@@ -113,7 +113,9 @@ class APISettings(BaseModel):
     #: weight quantization: "none" | "int8" (per-output-channel symmetric,
     #: dequant fused into the matmuls — the TPU analog of the reference's
     #: CTranslate2 int8_float16 compute type, main.py:281-292 / QUANT env
-    #: in utils.sh:70)
+    #: in utils.sh:70) | "int4" (int8 everywhere + nibble-packed
+    #: group-scaled int4 on the fused decode-step weight stream — ~25%
+    #: faster decode at a small weight-rounding cost; weight-only RTN)
     quant: str = "int8"
     #: static HBM budget per chip in bytes (v5e = 16 GiB); residency
     #: decisions are computed against this instead of runtime VRAM probes

@@ -26,8 +26,25 @@ import os
 import subprocess
 import sys
 
-SIZES = ("tiny", "base", "small", "medium", "large")
-HF_REPOS = {s: f"openai/whisper-{'large-v2' if s == 'large' else s}" for s in SIZES}
+SIZES = (
+    "tiny",
+    "base",
+    "small",
+    "medium",
+    "large",
+    "large-v3",
+    "large-v3-turbo",
+    "distil-large-v2",
+    "distil-large-v3",
+)
+HF_REPOS = {
+    s: (
+        f"distil-whisper/{s}"
+        if s.startswith("distil-")
+        else f"openai/whisper-{'large-v2' if s == 'large' else s}"
+    )
+    for s in SIZES
+}
 
 
 def cmd_run(args) -> int:
