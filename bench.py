@@ -10,6 +10,8 @@ cross-config table driver-audited):
   3. large-v2 beam-5, 29.2 s  — vs H100 23x
   4. medium  beam-1, 3.84 s  — vs RTX 4090 45x
   5. medium  beam-1, 29.2 s  — vs RTX 4090 77x
+  6. large-v2 beam-5 batch-4 coalesced throughput (req/s) — vs the
+     reference's best-case serial rate (7.14 req/s, 140 ms/req 4090)
 
 Protocol mirrors the reference's headline measurement: the API-reported
 `infer_time` (features + encoder + decode + text), model load/compile
@@ -77,6 +79,57 @@ def _engine(model: str, beam: int):
     return WhisperEngine(ModelRegistry(settings), settings)
 
 
+def _throughput_row(engines) -> None:
+    """Batch-4 coalesced throughput (large beam-5, 3.84 s requests, cap
+    32) through the fused block-diagonal kernel — the BENCH.md
+    throughput claim, driver-audited. Baseline: the reference's
+    best-case SERIAL rate on its headline GPU (RTX 4090, 140 ms/request
+    → 7.14 req/s; the reference runs one gunicorn worker and never
+    batches, main.py:1204-1215 / entrypoint.sh:19)."""
+    import time
+
+    from wis_tpu.runtime.batcher import ASRRequest
+
+    eng = engines[("large", 5)]
+    rng = np.random.default_rng(0)
+    reqs = [
+        ASRRequest(
+            audio=(rng.standard_normal(int(3.84 * 16000)) * 0.05).astype(
+                np.float32
+            ),
+            model="large",
+            beam_size=5,
+            max_tokens=32,
+        )
+        for _ in range(4)
+    ]
+    for _ in range(WARMUP):
+        eng.transcribe_coalesced(reqs)
+    times = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        eng.transcribe_coalesced(reqs)
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    req_s = 4.0 / med
+    base = 1.0 / 0.140
+    print(
+        json.dumps(
+            {
+                "metric": "large-v2_beam5_batch4_throughput_req_s",
+                "value": round(req_s, 2),
+                "unit": "req_s",
+                "vs_baseline": round(req_s / base, 3),
+                "baseline": "7.14 req/s serial RTX4090 (140 ms/req)",
+                "p50_batch_ms": round(med * 1000, 1),
+                "all_ms": [round(t * 1000, 1) for t in times],
+                "token_budget": 32,
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     engines = {}
     for metric, model, beam, fixture, synth_ms, budget, base_x, base_hw in CONFIGS:
@@ -112,6 +165,8 @@ def main() -> None:
             ),
             flush=True,
         )
+
+    _throughput_row(engines)
 
 
 if __name__ == "__main__":

@@ -305,3 +305,24 @@ def test_engine_v3_force_yue(v3_engine):
     audio = (rng.standard_normal(16000) * 0.05).astype(np.float32)
     res = v3_engine.transcribe(audio, model="micro-v3", force_language="yue")
     assert res.language == "yue"
+
+
+def test_engine_v3_coalesced_batch(v3_engine):
+    """Concurrent v3-layout requests coalesce into one padded batch with
+    per-row prompts built from the v3 special-token layout."""
+    from wis_tpu.runtime.batcher import ASRRequest
+
+    rng = np.random.default_rng(9)
+    reqs = [
+        ASRRequest(
+            audio=(rng.standard_normal(16000) * 0.05).astype(np.float32),
+            model="micro-v3",
+            beam_size=1,
+            force_language="yue" if i == 0 else "en",
+        )
+        for i in range(2)
+    ]
+    results = v3_engine.transcribe_coalesced(reqs)
+    assert results[0].language == "yue"
+    assert results[1].language == "en"
+    assert all(isinstance(r.text, str) for r in results)
