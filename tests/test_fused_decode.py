@@ -458,3 +458,30 @@ def test_int4_generate_end_to_end():
 
     flat = toks.ravel()
     assert set(flat[flat != _EOT]).issubset(allowed), flat
+
+
+def test_engine_int4_end_to_end():
+    """settings.quant="int4" wires through the engine: the registry
+    keeps the int8 tree, the engine packs PackedDecoder4 and builds
+    wbits=4 fused programs, and a request decodes."""
+    from wis_tpu.ops.fused_decode import PackedDecoder4
+    from wis_tpu.runtime.engine import WhisperEngine
+    from wis_tpu.runtime.residency import ModelRegistry
+    from wis_tpu.settings import APISettings
+
+    settings = APISettings(
+        max_decode_tokens=4,
+        batch_buckets=["1"],
+        warmup_iterations=0,
+        whisper_model_default="tiny",
+        quant="int4",
+        fused_decode="on",
+    )
+    eng = WhisperEngine(ModelRegistry(settings), settings)
+    rng = np.random.default_rng(31)
+    audio = (rng.standard_normal(16000) * 0.05).astype(np.float32)
+    res = eng.transcribe(audio, model="tiny", beam_size=1)
+    assert isinstance(res.text, str)
+    loaded = eng.registry.get("tiny")
+    assert isinstance(eng._packed_decoder(loaded), PackedDecoder4)
+    assert any(k[-1] is True for k in eng._programs), "expected fused program"
