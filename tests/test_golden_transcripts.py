@@ -8,9 +8,10 @@ These tests activate when converted weights exist under
 
 1. transcribe /root/reference/client/{3sec,10sec,30sec}.flac
 2. compare against tests/goldens/transcripts.json
-3. if the goldens file does not exist yet, PIN it from this run (the
-   first run with real weights becomes the golden) and assert only
-   non-degenerate output
+3. if no golden exists for a case, FAIL with the produced transcript so
+   a human can review it; pinning requires an explicit
+   ``WIS_PIN_GOLDENS=1`` (optionally ``WIS_GOLDEN_SOURCE=...`` naming
+   how it was verified) and records provenance next to the text
 
 In this build environment the network is closed: the download attempt
 is documented in BENCH.md ("Real-weight status") with the exact
@@ -85,12 +86,40 @@ def test_golden_transcript(engine, fixture, model, beam):
         with open(GOLDENS, encoding="utf-8") as f:
             goldens = json.load(f)
     if key in goldens:
-        assert text == goldens[key], (
-            f"transcript drift for {key}:\n got: {text}\n want: {goldens[key]}"
+        want = goldens[key]["text"] if isinstance(goldens[key], dict) else goldens[key]
+        assert text == want, (
+            f"transcript drift for {key}:\n got: {text}\n want: {want}"
         )
-    else:
-        # first real-weight run pins the golden
-        goldens[key] = text
+    elif os.environ.get("WIS_PIN_GOLDENS") == "1":
+        # Pinning is EXPLICIT (VERDICT r2 weak #7): a silent first-run pin
+        # would bake in whatever this repo produces — including a
+        # plausible-but-wrong transcript — as the truth. Set
+        # WIS_PIN_GOLDENS=1 only after eyeballing the transcripts (or
+        # cross-checking against CT2/HF output on the same checkpoint);
+        # provenance is recorded alongside each golden.
+        import datetime
+        import platform
+
+        goldens[key] = {
+            "text": text,
+            "provenance": {
+                "pinned_by": "WIS_PIN_GOLDENS=1 run",
+                "date": datetime.date.today().isoformat(),
+                "host": platform.node(),
+                "checkpoint_dir": ModelRegistry(APISettings())._model_dir(model),
+                "verified_against": os.environ.get(
+                    "WIS_GOLDEN_SOURCE", "UNVERIFIED — human/CT2 check pending"
+                ),
+            },
+        }
         os.makedirs(os.path.dirname(GOLDENS), exist_ok=True)
         with open(GOLDENS, "w", encoding="utf-8") as f:
             json.dump(goldens, f, indent=2, ensure_ascii=False)
+    else:
+        pytest.fail(
+            f"no golden pinned for {key}; transcript was non-degenerate:\n"
+            f"  {text}\n"
+            "Review it (ideally against CT2/HF output on the same "
+            "checkpoint), then re-run with WIS_PIN_GOLDENS=1 "
+            "[WIS_GOLDEN_SOURCE=<how it was verified>] to pin."
+        )

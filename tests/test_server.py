@@ -145,6 +145,35 @@ def test_asr_invalid_force_language(engine):
     _run(engine, go)
 
 
+def test_asr_v3_only_language_on_v2_model(engine):
+    """`yue` is representable only in the large-v3-family vocabulary;
+    forcing it on a v2-layout model must 400, not silently transcribe in
+    English while reporting language=yue (ADVICE r2)."""
+
+    async def go(client):
+        import aiohttp
+
+        form = aiohttp.FormData()
+        form.add_field("audio_file", _wav_bytes(), filename="a.wav")
+        resp = await client.post(
+            "/api/asr?model=tiny&force_language=yue", data=form
+        )
+        assert resp.status == 400
+        body = await resp.json()
+        assert "large-v3" in body["error"]
+
+    _run(engine, go)
+
+
+def test_engine_rejects_v3_language_on_v2_layout(engine):
+    from wis_tpu.runtime.engine import UnsupportedLanguageError
+
+    audio = np.zeros(SAMPLE_RATE // 2, np.float32)
+    with pytest.raises(UnsupportedLanguageError):
+        engine.transcribe(audio, model="tiny", beam_size=1,
+                          force_language="yue", max_tokens=2)
+
+
 def test_asr_invalid_audio(engine):
     async def go(client):
         import aiohttp

@@ -386,6 +386,7 @@ class WhisperEngine:
         detect = bool(detect_language and not force_language)
         if force_language:
             language = to_language_code(force_language)
+            _check_layout_language(language, tok, model_name)
         use_ts = bool(timestamps and not use_chunking)
         prompt = np.asarray(
             build_prompt(
@@ -553,6 +554,7 @@ class WhisperEngine:
             lang = s.language
             if r.force_language:
                 lang = to_language_code(r.force_language)
+                _check_layout_language(lang, tok, model_name)
             languages.append(lang)
             prompts.append(
                 build_prompt(
@@ -642,6 +644,23 @@ class WhisperEngine:
 
 
 _LANG_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+class UnsupportedLanguageError(ValueError):
+    """A forced language the selected model's vocabulary cannot express
+    (e.g. `yue` on a v2-layout model — <|yue|> is language token #100,
+    present only in the large-v3 family's 51866-token vocabulary)."""
+
+
+def _check_layout_language(language: str, tok, model_name: str) -> None:
+    """Reject v3-only language codes on v2-layout models instead of the
+    tokenizer's silent <|en|> fallback (ADVICE r2: forcing language=yue
+    on large-v2 would transcribe in English while reporting `yue`)."""
+    if language and language not in tok.layout.lang_codes:
+        raise UnsupportedLanguageError(
+            f"language {language!r} is not in model {model_name!r}'s "
+            f"vocabulary (requires a large-v3-family model)"
+        )
 
 
 def _normalize_language(language: str) -> str:

@@ -73,6 +73,27 @@ def _asr_response(result, include_stats: bool = True) -> dict:
     return payload
 
 
+def _unsupported_language(force_language: str, model: str) -> bool:
+    """True when `force_language` resolves to a code the selected model's
+    vocabulary cannot express (v3-only codes like `yue` on a v2-layout
+    model) — checked before enqueue so one bad request can't fail a
+    coalesced batch (ADVICE r2)."""
+    try:
+        from wis_tpu.languages import to_language_code
+        from wis_tpu.models.whisper.config import (
+            WHISPER_CONFIGS,
+            resolve_model_name,
+        )
+        from wis_tpu.models.whisper.tokenizer import layout_for_vocab
+
+        cfg = WHISPER_CONFIGS[resolve_model_name(model)]
+        code = to_language_code(force_language)
+        return code not in layout_for_vocab(cfg.n_vocab).lang_codes
+    except (KeyError, ValueError):
+        # unknown model / language — the existing 400 paths cover these
+        return False
+
+
 async def _run_asr(request: web.Request, req: ASRRequest):
     executor: InferenceExecutor = request.app["executor"]
     loop = asyncio.get_running_loop()
@@ -98,6 +119,14 @@ async def asr(request: web.Request) -> web.Response:
 
     if force_language and not check_language(force_language):
         return web.json_response({"error": "Invalid force_language"}, status=400)
+    if force_language and _unsupported_language(force_language, model):
+        return web.json_response(
+            {
+                "error": f"force_language {force_language!r} requires a "
+                "large-v3-family model"
+            },
+            status=400,
+        )
 
     reader = await request.multipart()
     data = None
@@ -130,6 +159,8 @@ async def asr(request: web.Request) -> web.Response:
         )
     except KeyError:
         return web.json_response({"error": f"Unknown model {model}"}, status=400)
+    except ValueError as e:
+        return web.json_response({"error": str(e)}, status=400)
     payload = _asr_response(result)
     if timestamps and result.segments is not None:
         payload["segments"] = result.segments
@@ -151,6 +182,14 @@ async def willow(request: web.Request) -> web.Response:
 
     if force_language and not check_language(force_language):
         return web.json_response({"error": "Invalid force_language"}, status=400)
+    if force_language and _unsupported_language(force_language, model):
+        return web.json_response(
+            {
+                "error": f"force_language {force_language!r} requires a "
+                "large-v3-family model"
+            },
+            status=400,
+        )
 
     # Willow device headers (reference main.py:1277-1281)
     sample_rate = request.headers.get("x-audio-sample-rate", "").lower()
@@ -217,6 +256,8 @@ async def willow(request: web.Request) -> web.Response:
         )
     except KeyError:
         return web.json_response({"error": f"Unknown model {model}"}, status=400)
+    except ValueError as e:
+        return web.json_response({"error": str(e)}, status=400)
 
     payload = _asr_response(result, include_stats=stats)
     if stats and voice_auth:
