@@ -61,8 +61,10 @@ def test_fused_logits_matches_xla_tail():
 
 
 def test_fused_logits_timestamp_grammar():
-    """grammar=True must apply the three timestamp rules identically to
-    the XLA masking in decoding/beam.py, per beam row."""
+    """grammar=True must apply the timestamp rules identically to the
+    XLA masking in decoding/beam.py (which mirrors HF's
+    WhisperTimeStampLogitsProcessor rule-for-rule), per beam row —
+    including the timestamp-probability force rule."""
     ts_base, eot = 900, 50  # micro-vocab stand-ins for 50364 / 50257
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.standard_normal((BK, D)), jnp.float32)
@@ -71,7 +73,7 @@ def test_fused_logits_timestamp_grammar():
     emb = jnp.asarray(rng.standard_normal((V, D)) * 0.3, jnp.bfloat16)
     sup = jnp.zeros(V, jnp.float32)
     # rows: [0] needs a timestamp next, [1] needs text next, [2] free but
-    # monotonicity-capped at ts id 1000
+    # monotonicity-floored at ts id 1000 (col 2 carries the min legal id)
     ts_state = jnp.asarray(
         [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1000, 0]], jnp.int32
     )
@@ -86,16 +88,23 @@ def test_fused_logits_timestamp_grammar():
     logits = np.array(_xla_logits(x, g, b, emb, sup))
     ids = np.arange(V)
     is_ts = ids >= ts_base
-    logits[0, ~(is_ts | (ids == eot))] = -1e30
+    logits[0, ids < eot] = -1e30  # no plain text after an unpaired ts
     logits[1, is_ts] = -1e30
     logits[2, is_ts & (ids < 1000)] = -1e30
+    # timestamp-probability force rule (HF/openai): if the summed ts
+    # probability beats the best text token, only timestamps are legal
+    for r in range(BK):
+        mx = logits[r].max()
+        lse_ts = np.log(np.exp(logits[r, ts_base:] - mx).sum()) + mx
+        if lse_ts > logits[r, :ts_base].max():
+            logits[r, :ts_base] = -1e30
     for r in range(BK):
         want = np.argsort(-logits[r], kind="stable")[:K]
         np.testing.assert_array_equal(np.sort(np.asarray(got_t)[r]), np.sort(want))
     want_lse = np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)) + logits.max(-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(got_lse), want_lse, rtol=1e-4, atol=1e-4)
-    # rule sanity: row 0 candidates are ts-or-eot, row 1 has no ts
+    # rule sanity: row 0 candidates are ts-or-specials, row 1 has no ts
     t0 = np.asarray(got_t)[0]
-    assert ((t0 >= ts_base) | (t0 == eot)).all()
+    assert (t0 >= eot).all()
     assert (np.asarray(got_t)[1] < ts_base).all()
     assert (np.asarray(got_t)[2][np.asarray(got_t)[2] >= ts_base] >= 1000).all()

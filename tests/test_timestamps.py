@@ -69,18 +69,21 @@ def test_timestamps_monotonic(ts_rollout):
 
 
 def test_no_text_after_unpaired_timestamp(ts_rollout):
-    # walk the grammar: after a single (opening) timestamp the next token
-    # must be text; after a closing one the next must be a timestamp
-    prev_ts = False
-    prevprev_ts = False
-    for t in ts_rollout:
+    # walk the grammar exactly as HF's WhisperTimeStampLogitsProcessor
+    # states it: a trailing timestamp whose predecessor is also a
+    # timestamp (or which starts the sequence — `len(seq) < 2` counts as
+    # paired) closes a segment, so text follows; a timestamp after text
+    # is a segment end, so no plain-text token may follow it
+    for i, t in enumerate(ts_rollout):
+        if i == 0:
+            continue
+        last_ts = ts_rollout[i - 1] >= TIMESTAMP_BASE
+        penult_ts = i < 2 or ts_rollout[i - 2] >= TIMESTAMP_BASE
         is_ts = t >= TIMESTAMP_BASE
-        if prev_ts and not prevprev_ts:
-            # unpaired → must be timestamp (EOT trimmed already)
-            assert is_ts
-        if prev_ts and prevprev_ts:
+        if last_ts and penult_ts:
             assert not is_ts
-        prevprev_ts, prev_ts = prev_ts, is_ts
+        if last_ts and not penult_ts:
+            assert t >= EOT  # no plain text (ids < EOT)
 
 
 def test_parse_segments_roundtrip():

@@ -27,6 +27,8 @@ def _gpt_sd():
         "gpt.text_pos_embedding.emb.weight": rng.standard_normal((GPT.max_text_tokens, d)).astype(np.float32),
         "gpt.mel_embedding.weight": rng.standard_normal((GPT.n_audio_vocab, d)).astype(np.float32),
         "gpt.mel_pos_embedding.emb.weight": rng.standard_normal((GPT.max_audio_tokens, d)).astype(np.float32),
+        "gpt.gpt.ln_f.weight": np.ones(d, np.float32),
+        "gpt.gpt.ln_f.bias": np.zeros(d, np.float32),
         "gpt.final_norm.weight": np.ones(d, np.float32),
         "gpt.final_norm.bias": np.zeros(d, np.float32),
         "gpt.mel_head.weight": rng.standard_normal((GPT.n_audio_vocab, d)).astype(np.float32),
@@ -130,3 +132,195 @@ def test_weight_norm_resolution():
     # resolved weight has per-output-norm == g
     norms = np.linalg.norm(w.reshape(4, -1), axis=1)
     np.testing.assert_allclose(norms, g.reshape(-1), rtol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# Production key coverage (VERDICT r2 next-step #9): the converter must
+# consume EVERY key of the published XTTS-v2 `model.pth` layout (names
+# transcribed from the public Coqui TTS model definitions:
+# TTS/tts/layers/xtts/gpt.py [30-layer GPT2 + custom embeddings/heads],
+# TTS/tts/layers/xtts/perceiver_encoder.py [PerceiverResampler],
+# TTS/tts/layers/tortoise/autoregressive.py [ConditioningEncoder],
+# TTS/vocoder/models/hifigan_generator.py [weight-normed HiFi-GAN]) —
+# or the key must be on the documented ignore list below. Weights are
+# synthetic; key NAMES and structural counts follow the production
+# config exactly (30 GPT layers, 6 conditioning blocks, depth-2
+# perceiver, 4 upsample stages × resblocks [3,7,11] × dilations
+# [1,3,5]); tensor widths are scaled down 16× so the conversion runs in
+# seconds — coverage is about names, not bytes.
+# --------------------------------------------------------------------------- #
+
+#: keys the converter deliberately does NOT map, and why
+IGNORED_PRODUCTION_KEYS = (
+    # torch GPT2 attention buffers (causal mask constants, not weights)
+    (".attn.bias", "GPT2 causal-mask buffer"),
+    (".attn.masked_bias", "GPT2 mask constant buffer"),
+    # the text-logits head is never used for speech synthesis (the
+    # serving path samples audio codes from mel_head only)
+    ("gpt.text_head.", "text head unused in synthesis"),
+    # Coqui's bundled ResNet speaker encoder is replaced by the in-repo
+    # WavLM x-vector (models/xtts/model.py:_speaker_embedding)
+    ("hifigan_decoder.speaker_encoder.", "WavLM x-vector stand-in"),
+    # cloning mel normalization stats — the clone frontend currently
+    # uses the whisper log-mel (model.py clone_speaker); divergence
+    # documented there
+    ("mel_stats", "cloning mel frontend divergence (documented)"),
+)
+
+
+class _TrackingDict(dict):
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        if super().__contains__(k):
+            self.consumed.add(k)
+        return super().get(k, default)
+
+
+def _production_sd():
+    """The full XTTS-v2 model.pth key list with production shapes."""
+    rng = np.random.default_rng(0)
+    f32 = lambda *s: rng.standard_normal(s).astype(np.float32)  # noqa: E731
+    D, L = 64, 30
+    sd = {
+        "mel_stats": np.ones(80, np.float32),
+        "gpt.text_embedding.weight": f32(418, D),
+        "gpt.text_pos_embedding.emb.weight": f32(404, D),
+        "gpt.mel_embedding.weight": f32(1026, D),
+        "gpt.mel_pos_embedding.emb.weight": f32(608, D),
+        "gpt.gpt.ln_f.weight": f32(D),
+        "gpt.gpt.ln_f.bias": f32(D),
+        "gpt.final_norm.weight": f32(D),
+        "gpt.final_norm.bias": f32(D),
+        "gpt.text_head.weight": f32(418, D),
+        "gpt.text_head.bias": f32(418),
+        "gpt.mel_head.weight": f32(1026, D),
+        "gpt.mel_head.bias": f32(1026),
+        # conditioning encoder: 1x1 init conv + 6 attention blocks
+        "gpt.conditioning_encoder.init.weight": f32(D, 80, 1),
+        "gpt.conditioning_encoder.init.bias": f32(D),
+        # perceiver resampler: 32 latents, depth 2
+        "gpt.conditioning_perceiver.latents": f32(32, D),
+        "gpt.conditioning_perceiver.norm.gamma": f32(D),
+    }
+    for i in range(L):
+        p = f"gpt.gpt.h.{i}."
+        sd[p + "ln_1.weight"] = f32(D)
+        sd[p + "ln_1.bias"] = f32(D)
+        sd[p + "attn.bias"] = np.ones((1, 1, 608, 608), np.float32)
+        sd[p + "attn.masked_bias"] = np.asarray(-1e4, np.float32)
+        sd[p + "attn.c_attn.weight"] = f32(D, 3 * D)
+        sd[p + "attn.c_attn.bias"] = f32(3 * D)
+        sd[p + "attn.c_proj.weight"] = f32(D, D)
+        sd[p + "attn.c_proj.bias"] = f32(D)
+        sd[p + "ln_2.weight"] = f32(D)
+        sd[p + "ln_2.bias"] = f32(D)
+        sd[p + "mlp.c_fc.weight"] = f32(D, 4 * D)
+        sd[p + "mlp.c_fc.bias"] = f32(4 * D)
+        sd[p + "mlp.c_proj.weight"] = f32(4 * D, D)
+        sd[p + "mlp.c_proj.bias"] = f32(D)
+    for i in range(6):
+        b = f"gpt.conditioning_encoder.attn.{i}."
+        sd[b + "norm.weight"] = f32(D)
+        sd[b + "norm.bias"] = f32(D)
+        sd[b + "qkv.weight"] = f32(3 * D, D, 1)
+        sd[b + "qkv.bias"] = f32(3 * D)
+        sd[b + "proj_out.weight"] = f32(D, D, 1)
+        sd[b + "proj_out.bias"] = f32(D)
+    inner = 8 * 8  # perceiver heads × (scaled) dim_head
+    for i in range(2):
+        a = f"gpt.conditioning_perceiver.layers.{i}.0."
+        f = f"gpt.conditioning_perceiver.layers.{i}.1."
+        sd[a + "norm.gamma"] = f32(D)
+        sd[a + "to_q.weight"] = f32(inner, D)
+        sd[a + "to_kv.weight"] = f32(2 * inner, D)
+        sd[a + "to_out.weight"] = f32(D, inner)
+        sd[f + "0.gamma"] = f32(D)
+        sd[f + "1.weight"] = f32(4 * D, D)
+        sd[f + "1.bias"] = f32(4 * D)
+        sd[f + "3.weight"] = f32(D, 4 * D)
+        sd[f + "3.bias"] = f32(D)
+    # HiFi-GAN waveform decoder (weight-normed: weight_g/weight_v pairs)
+    h = "hifigan_decoder.waveform_decoder."
+
+    def wn(prefix, *shape):
+        sd[prefix + ".weight_v"] = f32(*shape)
+        sd[prefix + ".weight_g"] = np.abs(f32(shape[0], *([1] * (len(shape) - 1)))) + 0.1
+
+    wn(h + "conv_pre", 32, D, 7)
+    sd[h + "conv_pre.bias"] = f32(32)
+    sd[h + "cond_layer.weight"] = f32(32, 32, 1)
+    sd[h + "cond_layer.bias"] = f32(32)
+    ch = 32
+    ups = ((8, 16), (8, 16), (2, 4), (2, 4))
+    for i, (r, k) in enumerate(ups):
+        out = ch // 2
+        wn(h + f"ups.{i}", ch, out, k)
+        sd[h + f"ups.{i}.bias"] = f32(out)
+        for j, rk in enumerate((3, 7, 11)):
+            ridx = i * 3 + j
+            for d in range(3):  # dilations (1, 3, 5)
+                wn(h + f"resblocks.{ridx}.convs1.{d}", out, out, rk)
+                sd[h + f"resblocks.{ridx}.convs1.{d}.bias"] = f32(out)
+                wn(h + f"resblocks.{ridx}.convs2.{d}", out, out, rk)
+                sd[h + f"resblocks.{ridx}.convs2.{d}.bias"] = f32(out)
+        ch = out
+    wn(h + "conv_post", 1, 2, 7)
+    sd[h + "conv_post.bias"] = f32(1)
+    # bundled ResNet speaker encoder (replaced — representative keys)
+    sd["hifigan_decoder.speaker_encoder.conv1.weight"] = f32(32, 1, 3, 3)
+    sd["hifigan_decoder.speaker_encoder.layer1.0.conv1.weight"] = f32(32, 32, 3, 3)
+    sd["hifigan_decoder.speaker_encoder.fc.weight"] = f32(64, 256)
+    return sd
+
+
+def test_production_key_coverage():
+    """Every production key is consumed by a converter or on the
+    documented ignore list — zero silently-dropped weights."""
+    import jax.numpy as jnp
+
+    from wis_tpu.models.xtts.conditioning import ConditioningConfig
+    from wis_tpu.models.xtts.convert import conditioning_from_coqui
+
+    sd = _TrackingDict(_production_sd())
+    gpt_cfg = GPTConfig(
+        n_layer=30, n_head=16, d_model=64, n_text_vocab=418,
+        n_audio_vocab=1026, max_text_tokens=404, max_audio_tokens=608,
+    )
+    voc_cfg = HiFiGANConfig(
+        in_dim=64, cond_dim=32, upsample_initial=32,
+        upsample_rates=(8, 8, 2, 2), upsample_kernels=(16, 16, 4, 4),
+        resblock_kernels=(3, 7, 11),
+        resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+    )
+    gpt_params = gpt_from_coqui(sd, gpt_cfg, dtype=jnp.bfloat16)
+    voc_params = hifigan_from_coqui(sd, voc_cfg, dtype=jnp.bfloat16)
+    cond_params = conditioning_from_coqui(
+        sd,
+        ConditioningConfig(
+            d_model=64, n_heads=16, perceiver_heads=8, perceiver_dim_head=8,
+        ),
+    )
+
+    assert cond_params["_unmapped"] == [], cond_params["_unmapped"]
+    assert gpt_params["blocks"]["attn_w"].shape == (30, 64, 192)
+    assert voc_params["ups"][0]["w"].shape == (16, 16, 32)
+
+    leftovers = []
+    for key in sd:
+        if key in sd.consumed:
+            continue
+        if any(key.startswith(pfx) or pfx in key
+               for pfx, _why in IGNORED_PRODUCTION_KEYS):
+            continue
+        leftovers.append(key)
+    assert leftovers == [], (
+        f"{len(leftovers)} production keys silently dropped: "
+        f"{leftovers[:10]}"
+    )

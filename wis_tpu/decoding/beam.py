@@ -4,7 +4,7 @@ Replaces CTranslate2's C++ beam-search decoder (reference main.py:687-693:
 `whisper_model.generate(features, prompts, beam_size, ...)`) with a single
 compiled XLA program per (model, beam, batch-bucket): encoder → cross-KV
 precompute → prompt prefill → `lax.while_loop` of single-token steps with
-early exit once every beam has emitted EOT.
+HF/CT2-compatible finished-hypothesis bookkeeping.
 
 TPU-first choices (SURVEY.md §7 "hard parts"):
 - **Static shapes everywhere**: batch is padded to a bucket, the token
@@ -13,19 +13,50 @@ TPU-first choices (SURVEY.md §7 "hard parts"):
 - **One dispatch per request**: the entire pipeline is one jit program —
   no per-token Python, no host↔device ping-pong (the reference pays a
   Python→C++ boundary per batch, main.py:676-693).
-- **Beam state is data, not control flow**: finished beams are masked to
-  propagate EOT with zero score delta; the cache is reordered with a
-  batched gather.
-- Greedy is the K=1 special case of the same program.
+- **Beam state is data, not control flow**: the cache is never resized;
+  beams re-parent through gathers (or the ancestry map — see below).
+- Greedy (K=1) is a separate static branch of the same builder: stop at
+  the first EOT, exactly like HF `greedy_search` / CT2 `beam_size=1`.
 
-Length normalization follows CTranslate2's default (`length_penalty=1`):
-final beam ranking divides summed logprobs by emitted length.
+Beam semantics (K ≥ 2) — oracle-compatible hypothesis search
+------------------------------------------------------------
+Finished sequences are stored OUT of the running set and their slots
+refilled, matching HF `transformers` `_beam_search` (generation/utils.py,
+v4.57: top-2K candidate pool, finished-store merge, early-stop
+heuristic with `early_stopping=False`) and OpenAI whisper's
+BeamSearchDecoder — validated token-exactly against HF `.generate()` in
+tests/test_hf_parity.py:
+
+- each step ranks the top-2K global continuations; the K best that are
+  NOT finished (EOT, or the token budget is exhausted) continue as
+  running beams;
+- candidates that finish within the global top-K are merged into a
+  K-slot finished store, scored `sum_logprob / gen_len**length_penalty`
+  (gen_len includes the EOT — the same normalization HF applies);
+- the loop exits early when every finished slot is filled and the best
+  running beam can no longer beat the worst finished score (HF's
+  `early_stopping=False` heuristic), or at the token cap, where the
+  final top-K candidates fold into the store.
+
+The 2K pool is built from per-beam top-(K+1) candidates: EOT is a single
+token, so a beam contributes at most one finished candidate — its
+first K non-EOT candidates plus its EOT candidate are all contained in
+its own top-(K+1). This keeps the fused logits head's per-chunk
+candidate count at K+1 ≤ 8 (ops/fused_logits KPAD).
+
+Suppression + normalization: by default (`renorm_suppressed=True`)
+log-probabilities are normalized over the SUPPRESSED distribution —
+OpenAI whisper (decoding.py applies logit filters before log_softmax)
+and CTranslate2 (disable_tokens pre-softmax) semantics, i.e. what the
+reference serves. HF instead normalizes first and then masks;
+`renorm_suppressed=False` reproduces that for oracle tests. The two are
+identical when no tokens are suppressed.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +73,9 @@ from wis_tpu.models.whisper.model import (
 from wis_tpu.models.whisper.tokenizer import EOT
 
 NEG_INF = -1e30
+#: HF beam search's "effectively -inf" gating constant — mirrored so the
+#: finished-store merge tie-breaks identically (generation/utils.py)
+GATE = -1.0e9
 
 
 class GenerateResult(NamedTuple):
@@ -51,19 +85,36 @@ class GenerateResult(NamedTuple):
     best: jnp.ndarray  # (B,) int32 — argmax beam per sequence
 
 
-class _State(NamedTuple):
+class _GreedyState(NamedTuple):
     t: jnp.ndarray  # () int32 — tokens emitted so far
-    tokens: jnp.ndarray  # (B, K) int32 — last token per beam
-    sum_lp: jnp.ndarray  # (B, K) f32
-    finished: jnp.ndarray  # (B, K) bool
-    out: jnp.ndarray  # (B, K, max_new) int32
-    out_len: jnp.ndarray  # (B, K) int32
+    tokens: jnp.ndarray  # (B, 1) int32 — last token
+    sum_lp: jnp.ndarray  # (B, 1) f32
+    finished: jnp.ndarray  # (B, 1) bool
+    out: jnp.ndarray  # (B, 1, max_new) int32
+    out_len: jnp.ndarray  # (B, 1) int32
+    cache: DecoderCache
+    anc: jnp.ndarray  # (B, 1, cache_len) int32 ancestry map (-1 unwritten)
+    prev_ts: jnp.ndarray  # (B, 1) bool — last emitted token is a timestamp
+    prevprev_ts: jnp.ndarray  # (B, 1) bool
+    max_ts: jnp.ndarray  # (B, 1) int32 — highest timestamp token emitted
+
+
+class _BeamState(NamedTuple):
+    t: jnp.ndarray  # () int32 — tokens emitted so far
+    tokens: jnp.ndarray  # (B, K) int32 — running beams' last token
+    sum_lp: jnp.ndarray  # (B, K) f32 — running accumulated logprobs
+    out: jnp.ndarray  # (B, K, max_new) int32 — running histories
     cache: DecoderCache
     anc: jnp.ndarray  # (B, K, cache_len) int32 ancestry map (-1 unwritten)
-    # timestamp-rule carry (unused zeros when with_timestamps=False)
-    prev_ts: jnp.ndarray  # (B, K) bool — last emitted token is a timestamp
+    prev_ts: jnp.ndarray  # (B, K) bool
     prevprev_ts: jnp.ndarray  # (B, K) bool
-    max_ts: jnp.ndarray  # (B, K) int32 — highest timestamp token emitted
+    max_ts: jnp.ndarray  # (B, K) int32
+    # finished-hypothesis store (sorted best-first by construction)
+    fin_out: jnp.ndarray  # (B, K, max_new) int32
+    fin_scores: jnp.ndarray  # (B, K) f32 — normalized; GATE = empty slot
+    fin_len: jnp.ndarray  # (B, K) int32 — incl. EOT
+    fin_mask: jnp.ndarray  # (B, K) bool — slot holds a real hypothesis
+    unsat: jnp.ndarray  # (B,) bool — early-stop heuristic not yet satisfied
 
 
 def _suppress_mask(n_vocab: int, suppress: Tuple[int, ...]) -> np.ndarray:
@@ -103,6 +154,9 @@ def build_generate_xa(
     ancestry: bool = True,
     fused: bool = False,
     wbits: int = 8,
+    renorm_suppressed: bool = True,
+    eot_id: Optional[int] = None,
+    max_initial_ts_index: Optional[int] = 50,
 ):
     """Return a jitted generate(params, xa_kv, prompt, token_cap) program.
 
@@ -143,6 +197,12 @@ def build_generate_xa(
     transposed once. Coalesced batches (batch > 1) run block-diagonal
     cross-attention over the batch's audio windows inside the kernel.
     Implies ancestry semantics.
+
+    renorm_suppressed=False switches per-step normalization to HF's
+    order (log_softmax over the full distribution, masks applied after)
+    for oracle parity tests; True (default) is OpenAI/CT2 semantics (see
+    module docstring). eot_id overrides the EOT token id (tests use an
+    id random weights actually emit to exercise mid-loop finishes).
     """
     from wis_tpu.models.whisper.tokenizer import layout_for_vocab
 
@@ -151,9 +211,14 @@ def build_generate_xa(
     _lay = layout_for_vocab(cfg.n_vocab)
     NO_TIMESTAMPS = _lay.no_timestamps
     TIMESTAMP_BASE = _lay.timestamp_base
+    eot = EOT if eot_id is None else int(eot_id)
 
     K, B = beam_size, batch
     BK = B * K
+    # per-beam candidate pool: greedy needs only the argmax; beams need
+    # K non-EOT + the (single) EOT candidate → K+1 (see module docstring)
+    KC = 1 if K == 1 else K + 1
+    POOL = 2 * K  # HF beams_to_keep (one EOS token)
     cache_len = prompt_len + max_new_tokens
     if fused:
         from wis_tpu.ops.fused_decode import build_fused_decode_step
@@ -169,8 +234,9 @@ def build_generate_xa(
         # timestamp grammar folds in as per-beam int32 scalars compared
         # against the kernel's global column ids
         head_fn = build_fused_logits_topk(
-            cfg, bk=BK, k=K, grammar=with_timestamps,
-            ts_base=TIMESTAMP_BASE, eot=EOT,
+            cfg, bk=BK, k=KC, grammar=with_timestamps,
+            ts_base=TIMESTAMP_BASE, eot=eot,
+            full_lse=not renorm_suppressed,
         )
         H = cfg.n_text_head
         Dh = cfg.n_text_state // H
@@ -181,13 +247,31 @@ def build_generate_xa(
     sup = jnp.asarray(_suppress_mask(cfg.n_vocab, base_suppress))
     begin_extra = tuple(begin_suppress_tokens) + base_suppress
     if with_timestamps:
-        # first generated token must be a timestamp
+        # first generated token must be a timestamp, at most
+        # max_initial_timestamp (openai default 1.0 s → index 50; HF
+        # WhisperTimeStampLogitsProcessor applies the same two begin
+        # rules)
         begin_extra = begin_extra + tuple(range(0, TIMESTAMP_BASE))
+        if max_initial_ts_index is not None:
+            begin_extra = begin_extra + tuple(
+                range(TIMESTAMP_BASE + max_initial_ts_index + 1, cfg.n_vocab)
+            )
     begin_sup = jnp.asarray(_suppress_mask(cfg.n_vocab, begin_extra))
     is_ts_vec = jnp.arange(cfg.n_vocab) >= TIMESTAMP_BASE  # (V,)
 
+    def _norm_len(t_plus_1):
+        """Length-penalty denominator: generated length incl. EOT, the
+        normalization HF applies (utils.py `cur_len + 1 -
+        decoder_prompt_len`) — and the same convention this repo has
+        always reported in GenerateResult.scores."""
+        n = t_plus_1.astype(jnp.float32)
+        if length_penalty == 1.0:
+            return n
+        return n ** length_penalty
+
     def _generate(params, packed, xa_kv, prompt, token_cap):
         dtype = params["decoder"]["tok_emb"].dtype
+        cap_eff = jnp.maximum(jnp.minimum(max_new_tokens, token_cap), 1)
 
         # ---- prefill on batch B ---- #
         cache0 = DecoderCache.zeros(cfg, B, cache_len, dtype)
@@ -196,13 +280,18 @@ def build_generate_xa(
         else:
             prompt_b = prompt
         logits, cache0 = prefill(params, prompt_b, cache0, xa_kv, cfg)
-        first_lp = jax.nn.log_softmax(logits[:, -1] + begin_sup, axis=-1)  # (B, V)
+        first_raw = logits[:, -1]  # (B, V) f32
+        first_masked = first_raw + begin_sup
+        if renorm_suppressed:
+            first_lse = jax.scipy.special.logsumexp(
+                first_masked, axis=-1, keepdims=True
+            )
+        else:
+            first_lse = jax.scipy.special.logsumexp(
+                first_raw, axis=-1, keepdims=True
+            )
+        first_lp = first_masked - first_lse  # (B, V)
 
-        # ---- initial beams: top-K distinct first tokens ---- #
-        top_lp, top_tok = jax.lax.top_k(first_lp, K)  # (B, K)
-        out = jnp.full((B, K, max_new_tokens), EOT, jnp.int32)
-        out = out.at[:, :, 0].set(top_tok)
-        finished0 = top_tok == EOT
         if fused:
             # kernel layout (L, D, T*BK) flat TIME-MAJOR: heads merged,
             # flat column = t*BK + b*K + k, so each position's BK rows
@@ -244,26 +333,15 @@ def build_generate_xa(
         anc0 = jnp.where(
             jnp.arange(cache_len)[None, None, :] < prompt_len, own_row, -1
         )
-        state = _State(
-            t=jnp.int32(1),
-            tokens=top_tok,
-            sum_lp=top_lp,
-            finished=finished0,
-            out=out,
-            out_len=jnp.ones((B, K), jnp.int32),
-            cache=cache_bk,
-            anc=anc0,
-            prev_ts=(top_tok >= TIMESTAMP_BASE),
-            prevprev_ts=jnp.zeros((B, K), bool),
-            max_ts=jnp.maximum(top_tok, TIMESTAMP_BASE),
-        )
 
-        def cond(s: _State):
-            return (s.t < jnp.minimum(max_new_tokens, token_cap)) & ~jnp.all(
-                s.finished
-            )
-
-        def body(s: _State) -> _State:
+        # ------------------------------------------------------------------
+        # Shared per-step computation: run the decoder for the running
+        # beams' last tokens and return per-beam candidate continuations.
+        # → (cand_val (BK, KC) suppressed values, cand_tok (BK, KC) i32,
+        #    lse (BK, 1), cache', anc') — anc' has the current position
+        #    marked as own-row (re-parenting happens in the caller).
+        # ------------------------------------------------------------------
+        def run_step(tokens, cache, anc, prev_ts, prevprev_ts, max_ts):
             if fused:
                 # sel from the PRE-update ancestry: the current position
                 # is still -1 (excluded, one_hot of a negative is zero)
@@ -273,66 +351,52 @@ def build_generate_xa(
                 # (t*BK + row); ancestry is per-sequence, so offsetting
                 # by b*K keeps beams inside their own sequence's rows.
                 boff = (jnp.arange(B, dtype=jnp.int32) * K)[:, None, None]
-                ganc = jnp.where(s.anc >= 0, s.anc + boff, -1)
+                ganc = jnp.where(anc >= 0, anc + boff, -1)
                 sel = jax.nn.one_hot(
                     ganc.reshape(BK, cache_len), BK, dtype=jnp.float32
                 ).reshape(BK, BK * cache_len)
                 dec = params["decoder"]
                 x_emb = (
-                    jnp.take(dec["tok_emb"], s.tokens.reshape(BK), axis=0)
+                    jnp.take(dec["tok_emb"], tokens.reshape(BK), axis=0)
                     .astype(jnp.float32)
-                    + jnp.take(dec["pos"], s.cache.pos, axis=0)
+                    + jnp.take(dec["pos"], cache.pos, axis=0)
                     .astype(jnp.float32)[None]
                 )
                 # the kernel injects this step's K/V columns into the
                 # aliased cache buffers itself — zero XLA-side cache ops
-                x_out, kc, vc = step_fn(
-                    packed, x_emb, s.cache.k, s.cache.v,
-                    xa_k_f, xa_v_f, sel, s.cache.pos,
+                x_out, kc_, vc_ = step_fn(
+                    packed, x_emb, cache.k, cache.v,
+                    xa_k_f, xa_v_f, sel, cache.pos,
                 )
-                cache = DecoderCache(kc, vc, s.cache.pos + 1)
-                anc = jax.lax.dynamic_update_index_in_dim(
-                    s.anc,
+                new_cache = DecoderCache(kc_, vc_, cache.pos + 1)
+                new_anc = jax.lax.dynamic_update_index_in_dim(
+                    anc,
                     jnp.broadcast_to(
                         jnp.arange(K, dtype=jnp.int32)[None, :], (B, K)
                     ),
-                    s.cache.pos,
+                    cache.pos,
                     axis=2,
                 )
-            elif ancestry:
-                # this step writes position cache.pos in each beam's own
-                # physical row — record it before attention reads it
-                anc = jax.lax.dynamic_update_index_in_dim(
-                    s.anc,
-                    jnp.broadcast_to(
-                        jnp.arange(K, dtype=jnp.int32)[None, :], (B, K)
-                    ),
-                    s.cache.pos,
-                    axis=2,
-                )
-                logits, cache = decode_step(
-                    params, s.tokens.reshape(BK), s.cache, xa_kv, cfg, anc=anc
-                )  # (BK, V) f32
-            else:
-                anc = s.anc
-                logits, cache = decode_step(
-                    params, s.tokens.reshape(BK), s.cache, xa_kv, cfg
-                )  # (BK, V) f32
-            if fused:
-                # LN + logits + per-beam top-K + logsumexp in one Pallas
+                # LN + logits + per-beam top-KC + logsumexp in one Pallas
                 # pass over the embedding (ops/fused_logits); the static
                 # suppress mask — and the timestamp grammar's per-beam
                 # scalars when with_timestamps — fold into the kernel
                 dec = params["decoder"]
                 ts_state = None
                 if with_timestamps:
+                    # col 2 is the min legal timestamp id: equality with
+                    # the previous timestamp is allowed only while the
+                    # pair is open (HF/openai monotonicity rule)
+                    min_ts = jnp.where(
+                        prev_ts & ~prevprev_ts, max_ts, max_ts + 1
+                    )
                     ts_state = jnp.stack(
                         [
-                            (s.prev_ts & ~s.prevprev_ts)
+                            (prev_ts & ~prevprev_ts)
                             .reshape(BK).astype(jnp.int32),
-                            (s.prev_ts & s.prevprev_ts)
+                            (prev_ts & prevprev_ts)
                             .reshape(BK).astype(jnp.int32),
-                            s.max_ts.reshape(BK),
+                            min_ts.reshape(BK),
                             jnp.zeros((BK,), jnp.int32),
                         ],
                         axis=1,
@@ -341,110 +405,347 @@ def build_generate_xa(
                     x_out, dec["ln"]["g"], dec["ln"]["b"],
                     dec["tok_emb"], sup, ts_state,
                 )
+                return cand_val, cand_tok, lse, new_cache, new_anc
+
+            if ancestry:
+                # this step writes position cache.pos in each beam's own
+                # physical row — record it before attention reads it
+                new_anc = jax.lax.dynamic_update_index_in_dim(
+                    anc,
+                    jnp.broadcast_to(
+                        jnp.arange(K, dtype=jnp.int32)[None, :], (B, K)
+                    ),
+                    cache.pos,
+                    axis=2,
+                )
+                logits, new_cache = decode_step(
+                    params, tokens.reshape(BK), cache, xa_kv, cfg,
+                    anc=new_anc,
+                )  # (BK, V) f32
             else:
-                masked = logits + sup
+                new_anc = anc
+                logits, new_cache = decode_step(
+                    params, tokens.reshape(BK), cache, xa_kv, cfg
+                )  # (BK, V) f32
 
-                if with_timestamps:
-                    vocab_ids = jnp.arange(cfg.n_vocab)
-                    is_eot = vocab_ids == EOT
-                    # unpaired timestamp → next must be a timestamp (EOT ok)
-                    need_ts = (s.prev_ts & ~s.prevprev_ts).reshape(BK)[:, None]
-                    masked = jnp.where(
-                        need_ts & ~(is_ts_vec | is_eot)[None, :], NEG_INF, masked
-                    )
-                    # closed pair → next must be text (or EOT)
-                    need_text = (s.prev_ts & s.prevprev_ts).reshape(BK)[:, None]
-                    masked = jnp.where(
-                        need_text & is_ts_vec[None, :], NEG_INF, masked
-                    )
-                    # monotonic timestamps
-                    below_max = vocab_ids[None, :] < s.max_ts.reshape(BK)[:, None]
-                    masked = jnp.where(
-                        is_ts_vec[None, :] & below_max, NEG_INF, masked
-                    )
+            masked = logits + sup
+            if with_timestamps:
+                # whisper's timestamp grammar, rule-for-rule the same as
+                # HF WhisperTimeStampLogitsProcessor (logits_process.py)
+                # and openai-whisper ApplyTimestampRules; parity is
+                # pinned in test_hf_parity.py
+                vocab_ids = jnp.arange(cfg.n_vocab)
+                # unpaired timestamp → no plain-text token (ids < EOT);
+                # EOT/specials/timestamps stay legal
+                need_ts = (prev_ts & ~prevprev_ts).reshape(BK)[:, None]
+                masked = jnp.where(
+                    need_ts & (vocab_ids < eot)[None, :], NEG_INF, masked
+                )
+                # closed pair → next must be text (no timestamp)
+                need_text = (prev_ts & prevprev_ts).reshape(BK)[:, None]
+                masked = jnp.where(
+                    need_text & is_ts_vec[None, :], NEG_INF, masked
+                )
+                # non-decreasing timestamps: equality allowed only while
+                # the pair is open (begin==previous end); strictly
+                # increasing otherwise ("avoid <|0.00|> again")
+                min_ts = jnp.where(
+                    (prev_ts & ~prevprev_ts), max_ts, max_ts + 1
+                ).reshape(BK)[:, None]
+                masked = jnp.where(
+                    is_ts_vec[None, :] & (vocab_ids[None, :] < min_ts),
+                    NEG_INF,
+                    masked,
+                )
+                # if the total timestamp probability outweighs the best
+                # text token, force a timestamp
+                lse_ts = jax.scipy.special.logsumexp(
+                    masked[:, TIMESTAMP_BASE:], axis=-1, keepdims=True
+                )
+                max_text = jnp.max(
+                    masked[:, :TIMESTAMP_BASE], axis=-1, keepdims=True
+                )
+                masked = jnp.where(
+                    (lse_ts > max_text) & ~is_ts_vec[None, :],
+                    NEG_INF,
+                    masked,
+                )
 
-                # Two-stage candidate selection: the global top-K of
-                # sum_lp[k] + lp[k, v] is always contained in the per-beam
-                # top-K, so select K candidates per beam first (one narrow
-                # top_k + one logsumexp over the vocab — no normalized
-                # (B, K·V) tensor is ever materialized or reshaped).
-                cand_val, cand_tok = jax.lax.top_k(masked, K)  # (BK, K)
+            # Per-beam candidate selection: the global top-POOL of
+            # sum_lp[k] + lp[k, v] that the search consumes is always
+            # contained in the per-beam top-KC (no normalized (B, K·V)
+            # tensor is ever materialized or reshaped).
+            cand_val, cand_tok = jax.lax.top_k(masked, KC)  # (BK, KC)
+            if renorm_suppressed:
                 lse = jax.scipy.special.logsumexp(
                     masked, axis=-1, keepdims=True
                 )
-            cand_lp = (cand_val - lse).reshape(B, K, K)
-            cand_tok = cand_tok.reshape(B, K, K).astype(jnp.int32)
-
-            # finished beams: a single zero-cost EOT continuation
-            fin = s.finished[..., None]  # (B, K, 1)
-            first_slot = (jnp.arange(K) == 0)[None, None, :]
-            cand_lp = jnp.where(
-                fin, jnp.where(first_slot, 0.0, NEG_INF), cand_lp
-            )
-            cand_tok = jnp.where(fin, EOT, cand_tok)
-
-            total = s.sum_lp[..., None] + cand_lp  # (B, K, K)
-            new_lp, idx = jax.lax.top_k(total.reshape(B, K * K), K)
-            parent = idx // K
-            tok = jnp.take_along_axis(cand_tok.reshape(B, K * K), idx, axis=1)
-
-            gather = lambda a: jnp.take_along_axis(a, parent, axis=1)
-            par_finished = gather(s.finished)
-            par_len = gather(s.out_len)
-            out = jnp.take_along_axis(
-                s.out, parent[..., None], axis=1
-            )
-            out = jax.lax.dynamic_update_index_in_dim(
-                out, jnp.where(par_finished, EOT, tok), s.t, axis=2
-            )
-            if ancestry or fused:
-                # logical beams re-parent; physical rows never move —
-                # the ancestry map absorbs the permutation instead of
-                # two full-cache copies
-                anc = jnp.take_along_axis(anc, parent[..., None], axis=1)
             else:
-                global_parent = (
-                    jnp.arange(B, dtype=jnp.int32)[:, None] * K + parent
-                ).reshape(BK)
-                # beam parents are frequently the identity — skip the
-                # full-cache gather (two ~200 MB copies on large-v2) then
-                identity = jnp.array_equal(
-                    global_parent, jnp.arange(BK, dtype=jnp.int32)
+                lse = jax.scipy.special.logsumexp(
+                    logits, axis=-1, keepdims=True
                 )
-                cache = jax.lax.cond(
-                    identity,
-                    lambda c: c,
-                    lambda c: c.reorder(global_parent),
-                    cache,
+            return cand_val, cand_tok, lse, new_cache, new_anc
+
+        def reparent_cache(cache, anc, parent):
+            """Re-parent running beams after selection. Ancestry/fused:
+            the map absorbs the permutation; physical mode gathers rows
+            unless the permutation is the identity."""
+            if ancestry or fused:
+                return cache, jnp.take_along_axis(
+                    anc, parent[..., None], axis=1
                 )
+            global_parent = (
+                jnp.arange(B, dtype=jnp.int32)[:, None] * K + parent
+            ).reshape(BK)
+            # beam parents are frequently the identity — skip the
+            # full-cache gather (two ~200 MB copies on large-v2) then
+            identity = jnp.array_equal(
+                global_parent, jnp.arange(BK, dtype=jnp.int32)
+            )
+            cache = jax.lax.cond(
+                identity,
+                lambda c: c,
+                lambda c: c.reorder(global_parent),
+                cache,
+            )
+            return cache, anc
+
+        if K == 1:
+            return _greedy(
+                params, first_lp, cache_bk, anc0, run_step, reparent_cache,
+                cap_eff,
+            )
+        return _beam(
+            params, first_lp, cache_bk, anc0, run_step, reparent_cache,
+            cap_eff,
+        )
+
+    # ------------------------------------------------------------------
+    # Greedy (K == 1): argmax each step, stop at the first EOT — HF
+    # `greedy_search` / CT2 beam_size=1 semantics (test_hf_parity pins
+    # token-exact agreement with HF `.generate(num_beams=1)`).
+    # ------------------------------------------------------------------
+    def _greedy(params, first_lp, cache_bk, anc0, run_step, reparent, cap_eff):
+        top_lp, top_tok = jax.lax.top_k(first_lp, 1)  # (B, 1)
+        out = jnp.full((B, 1, max_new_tokens), eot, jnp.int32)
+        out = out.at[:, :, 0].set(top_tok)
+        state = _GreedyState(
+            t=jnp.int32(1),
+            tokens=top_tok,
+            sum_lp=top_lp,
+            finished=top_tok == eot,
+            out=out,
+            out_len=jnp.ones((B, 1), jnp.int32),
+            cache=cache_bk,
+            anc=anc0,
+            prev_ts=(top_tok >= TIMESTAMP_BASE),
+            # a single trailing timestamp at sequence start counts as a
+            # CLOSED pair (HF: `penultimate_was_timestamp = len(seq) < 2
+            # or ...`) — the initial timestamp is a segment begin and
+            # text must follow it
+            prevprev_ts=jnp.ones((B, 1), bool),
+            max_ts=jnp.maximum(top_tok, TIMESTAMP_BASE),
+        )
+
+        def cond(s: _GreedyState):
+            return (s.t < cap_eff) & ~jnp.all(s.finished)
+
+        def body(s: _GreedyState) -> _GreedyState:
+            cand_val, cand_tok, lse, cache, anc = run_step(
+                s.tokens, s.cache, s.anc, s.prev_ts, s.prevprev_ts, s.max_ts
+            )
+            lp = (cand_val - lse).reshape(B, 1)
+            tok = cand_tok.reshape(B, 1).astype(jnp.int32)
+            tok = jnp.where(s.finished, eot, tok)
+            out = jax.lax.dynamic_update_index_in_dim(
+                s.out, tok, s.t, axis=2
+            )
             tok_is_ts = tok >= TIMESTAMP_BASE
-            return _State(
+            return _GreedyState(
                 t=s.t + 1,
                 tokens=tok,
-                sum_lp=new_lp,
-                finished=par_finished | (tok == EOT),
+                sum_lp=s.sum_lp + jnp.where(s.finished, 0.0, lp),
+                finished=s.finished | (tok == eot),
                 out=out,
-                out_len=jnp.where(par_finished, par_len, par_len + 1),
+                out_len=jnp.where(s.finished, s.out_len, s.out_len + 1),
                 cache=cache,
                 anc=anc,
-                prev_ts=jnp.where(par_finished, gather(s.prev_ts), tok_is_ts),
-                prevprev_ts=jnp.where(
-                    par_finished, gather(s.prevprev_ts), gather(s.prev_ts)
-                ),
+                prev_ts=jnp.where(s.finished, s.prev_ts, tok_is_ts),
+                prevprev_ts=jnp.where(s.finished, s.prevprev_ts, s.prev_ts),
                 max_ts=jnp.where(
-                    tok_is_ts & ~par_finished,
-                    jnp.maximum(gather(s.max_ts), tok),
-                    gather(s.max_ts),
+                    tok_is_ts & ~s.finished,
+                    jnp.maximum(s.max_ts, tok),
+                    s.max_ts,
                 ),
             )
 
         s = jax.lax.while_loop(cond, body, state)
+        scores = s.sum_lp / _norm_len(s.out_len)
+        best = jnp.zeros((B,), jnp.int32)
+        return GenerateResult(
+            tokens=s.out, lengths=s.out_len, scores=scores, best=best
+        )
 
-        # CT2-style length normalization: sum_lp / len^penalty
-        norm = jnp.maximum(s.out_len.astype(jnp.float32), 1.0) ** length_penalty
-        scores = s.sum_lp / norm
-        best = jnp.argmax(scores, axis=1).astype(jnp.int32)
-        return GenerateResult(tokens=s.out, lengths=s.out_len, scores=scores, best=best)
+    # ------------------------------------------------------------------
+    # Beam search (K ≥ 2): HF-compatible hypothesis store (see module
+    # docstring). `_select` applies one round of HF's candidate
+    # processing to a DESC-sorted pool of P global candidates.
+    # ------------------------------------------------------------------
+    def _beam(params, first_lp, cache_bk, anc0, run_step, reparent, cap_eff):
+        fin_out0 = jnp.full((B, K, max_new_tokens), eot, jnp.int32)
+        fin0 = (
+            fin_out0,
+            jnp.full((B, K), GATE, jnp.float32),
+            jnp.zeros((B, K), jnp.int32),
+            jnp.zeros((B, K), bool),
+        )
+
+        def _select(vals, toks, parents, cand_out, t, fin, unsat):
+            """One HF `process` round over P sorted candidates.
+
+            vals (B, P) DESC-sorted accumulated logprobs; toks/parents
+            (B, P); cand_out (B, P, max_new) candidate histories with
+            this step's token written at position t. Returns running
+            (sum_lp, tok, parent, out) and the merged finished store.
+            """
+            P = vals.shape[1]
+            hits = (toks == eot) | (t + 1 >= cap_eff)  # (B, P)
+            hits_f = hits.astype(jnp.float32)
+
+            # running beams: best K candidates that did NOT finish
+            run_vals = vals + hits_f * GATE
+            new_lp, rsel = jax.lax.top_k(run_vals, K)
+            take = lambda a: jnp.take_along_axis(a, rsel, axis=1)
+            new_tok = take(toks)
+            new_parent = take(parents)
+            new_out = jnp.take_along_axis(cand_out, rsel[..., None], axis=1)
+
+            # finished candidates: hits within the global top-K, gated
+            # off once the batch's early-stop heuristic is satisfied
+            # (HF _update_finished_beams)
+            topmask = (jnp.arange(P) < K)[None, :]
+            f = vals / _norm_len(t + 1)
+            f = f + (~(hits & topmask)).astype(jnp.float32) * GATE
+            f = f + (~unsat).astype(jnp.float32)[:, None] * GATE
+            m_scores = jnp.concatenate([fin[1], f], axis=1)  # (B, K+P)
+            m_out = jnp.concatenate([fin[0], cand_out], axis=1)
+            m_len = jnp.concatenate(
+                [fin[2], jnp.broadcast_to((t + 1)[None, None], (B, P))],
+                axis=1,
+            )
+            m_fin = jnp.concatenate([fin[3], hits & topmask], axis=1)
+            fin_scores, msel = jax.lax.top_k(m_scores, K)
+            mtake = lambda a: jnp.take_along_axis(a, msel, axis=1)
+            new_fin = (
+                jnp.take_along_axis(m_out, msel[..., None], axis=1),
+                fin_scores,
+                mtake(m_len),
+                mtake(m_fin),
+            )
+
+            # early-stop heuristic (HF early_stopping=False): stop a
+            # batch when every slot is a real hypothesis and the best
+            # running beam can no longer beat the worst of them
+            best_possible = new_lp[:, :1] / _norm_len(t + 1)  # (B, 1)
+            worst = jnp.where(
+                new_fin[3],
+                jnp.min(fin_scores, axis=1, keepdims=True),
+                GATE,
+            )  # (B, K)
+            new_unsat = unsat & jnp.any(best_possible > worst, axis=-1)
+            return new_lp, new_tok, new_parent, new_out, new_fin, new_unsat
+
+        # ---- init: candidates from the prefill distribution (a single
+        # pseudo-beam, like HF's [0, -1e9, ...] score init) ---- #
+        vals0, tok0 = jax.lax.top_k(first_lp, KC)  # (B, KC) sorted
+        cand_out0 = jnp.full((B, KC, max_new_tokens), eot, jnp.int32)
+        cand_out0 = cand_out0.at[:, :, 0].set(tok0)
+        unsat_init = jnp.ones((B,), bool)
+        sum0, run_tok0, _, out0, fin1, unsat0 = _select(
+            vals0,
+            tok0.astype(jnp.int32),
+            jnp.zeros((B, KC), jnp.int32),
+            cand_out0,
+            jnp.int32(0),
+            fin0,
+            unsat_init,
+        )
+        state = _BeamState(
+            t=jnp.int32(1),
+            tokens=run_tok0,
+            sum_lp=sum0,
+            out=out0,
+            cache=cache_bk,
+            anc=anc0,
+            prev_ts=(run_tok0 >= TIMESTAMP_BASE),
+            # single trailing timestamp == closed pair (see _GreedyState
+            # init): the initial timestamp opens a segment for text
+            prevprev_ts=jnp.ones((B, K), bool),
+            max_ts=jnp.maximum(run_tok0, TIMESTAMP_BASE),
+            fin_out=fin1[0],
+            fin_scores=fin1[1],
+            fin_len=fin1[2],
+            fin_mask=fin1[3],
+            unsat=unsat0,
+        )
+
+        def cond(s: _BeamState):
+            return (s.t < cap_eff) & jnp.any(s.unsat)
+
+        def body(s: _BeamState) -> _BeamState:
+            cand_val, cand_tok, lse, cache, anc = run_step(
+                s.tokens, s.cache, s.anc, s.prev_ts, s.prevprev_ts, s.max_ts
+            )
+            cand_lp = (cand_val - lse).reshape(B, K, KC)
+            total = s.sum_lp[..., None] + cand_lp  # (B, K, KC)
+            vals, idx = jax.lax.top_k(total.reshape(B, K * KC), POOL)
+            parent = idx // KC
+            tok = jnp.take_along_axis(
+                cand_tok.reshape(B, K * KC).astype(jnp.int32), idx, axis=1
+            )
+            cand_out = jnp.take_along_axis(
+                s.out, parent[..., None], axis=1
+            )  # (B, POOL, max_new)
+            cand_out = jax.lax.dynamic_update_index_in_dim(
+                cand_out, tok, s.t, axis=2
+            )
+            fin = (s.fin_out, s.fin_scores, s.fin_len, s.fin_mask)
+            new_lp, new_tok, new_parent, new_out, new_fin, new_unsat = (
+                _select(vals, tok, parent, cand_out, s.t, fin, s.unsat)
+            )
+
+            cache, anc = reparent(cache, anc, new_parent)
+            gather = lambda a: jnp.take_along_axis(a, new_parent, axis=1)
+            tok_is_ts = new_tok >= TIMESTAMP_BASE
+            return _BeamState(
+                t=s.t + 1,
+                tokens=new_tok,
+                sum_lp=new_lp,
+                out=new_out,
+                cache=cache,
+                anc=anc,
+                prev_ts=tok_is_ts,
+                prevprev_ts=gather(s.prev_ts),
+                max_ts=jnp.where(
+                    tok_is_ts,
+                    jnp.maximum(gather(s.max_ts), new_tok),
+                    gather(s.max_ts),
+                ),
+                fin_out=new_fin[0],
+                fin_scores=new_fin[1],
+                fin_len=new_fin[2],
+                fin_mask=new_fin[3],
+                unsat=new_unsat,
+            )
+
+        s = jax.lax.while_loop(cond, body, state)
+        # the store is top_k-sorted best-first; argmax kept for the
+        # interface contract
+        best = jnp.argmax(s.fin_scores, axis=1).astype(jnp.int32)
+        return GenerateResult(
+            tokens=s.fin_out, lengths=s.fin_len, scores=s.fin_scores,
+            best=best,
+        )
 
     if fused:
 
@@ -474,6 +775,9 @@ def build_generate(
     with_timestamps: bool = False,
     ancestry: bool = True,
     fused: bool = False,
+    renorm_suppressed: bool = True,
+    eot_id: Optional[int] = None,
+    max_initial_ts_index: Optional[int] = 50,
 ):
     """End-to-end (params, mel, prompt, token_cap) → GenerateResult,
     composing build_encode + build_generate_xa (two device dispatches;
@@ -492,6 +796,9 @@ def build_generate(
         with_timestamps=with_timestamps,
         ancestry=ancestry,
         fused=fused,
+        renorm_suppressed=renorm_suppressed,
+        eot_id=eot_id,
+        max_initial_ts_index=max_initial_ts_index,
     )
 
     if fused:

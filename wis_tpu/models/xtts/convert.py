@@ -84,6 +84,10 @@ def gpt_from_coqui(
             "mlp_w2": stack("mlp.c_proj.weight"),
             "mlp_b2": stack("mlp.c_proj.bias"),
         },
+        # GPT2Model's internal ln_f runs first (inside last_hidden_state),
+        # then the model-level final_norm (coqui xtts/gpt.py)
+        "gpt_lnf_g": jnp.asarray(sd["gpt.gpt.ln_f.weight"], jnp.float32),
+        "gpt_lnf_b": jnp.asarray(sd["gpt.gpt.ln_f.bias"], jnp.float32),
         "lnf_g": jnp.asarray(sd["gpt.final_norm.weight"], jnp.float32),
         "lnf_b": jnp.asarray(sd["gpt.final_norm.bias"], jnp.float32),
         # mel_head is nn.Linear (out, in) → transpose

@@ -100,6 +100,10 @@ def gpt_pass(
         return x, (ck, cv)
 
     x, (nk, nv) = jax.lax.scan(block, x, (params["blocks"], cache.k, cache.v))
+    # Coqui XTTS applies TWO final LayerNorms: GPT2Model's internal ln_f
+    # (gpt.gpt.ln_f — part of last_hidden_state) and then the model's own
+    # final_norm (coqui TTS xtts/gpt.py `self.final_norm(enc)`)
+    x = _ln(x, params["gpt_lnf_g"], params["gpt_lnf_b"])
     x = _ln(x, params["lnf_g"], params["lnf_b"])
     return x, GPTCache(nk, nv, cache.pos)
 
@@ -285,6 +289,8 @@ def random_gpt(cfg: GPTConfig, seed: int = 0, dtype=jnp.bfloat16) -> Dict:
             "mlp_w2": dense(L, F, D),
             "mlp_b2": jnp.zeros((L, D), dtype),
         },
+        "gpt_lnf_g": jnp.ones(D, jnp.float32),
+        "gpt_lnf_b": jnp.zeros(D, jnp.float32),
         "lnf_g": jnp.ones(D, jnp.float32),
         "lnf_b": jnp.zeros(D, jnp.float32),
         "head_w": dense(D, cfg.n_audio_vocab),

@@ -101,11 +101,16 @@ class WhisperEngine:
     # ------------------------------------------------------------------ #
     # Program cache
     # ------------------------------------------------------------------ #
-    def _use_fused(self, batch: int) -> bool:
+    def _use_fused(self, batch: int, beam: int = 1) -> bool:
         """Single-kernel Pallas decode step (ops/fused_decode): "auto"
         enables it on TPU (batch > 1 runs the block-diagonal cross-attn
         variant); "on" forces it anywhere (CPU runs in interpret mode —
-        used by tests); "off" disables."""
+        used by tests); "off" disables. Beams above 7 fall back to the
+        XLA path: the fused logits head extracts beam+1 candidates per
+        vocab chunk and its candidate tile holds 8 (ops/fused_logits
+        KPAD)."""
+        if beam + 1 > 8 and beam != 1:
+            return False
         mode = getattr(self.settings, "fused_decode", "auto")
         if mode == "off":
             return False
@@ -121,7 +126,7 @@ class WhisperEngine:
         """Returns (program, fused): fused programs take a PackedDecoder
         right after params."""
         max_new = max_new or self.settings.max_decode_tokens
-        fused = self._use_fused(batch)
+        fused = self._use_fused(batch, beam)
         key = (model.name, beam, batch, prompt_len, detect, translate,
                timestamps, max_new, fused)
         prog = self._programs.get(key)
