@@ -77,3 +77,44 @@ def test_num_chunks_matches_iteration():
         n = seconds * SAMPLE_RATE
         audio = np.zeros(n, np.float32)
         assert num_chunks(n) == len(list(chunk_iter(audio)))
+
+
+def test_session_stop_with_bad_override_keeps_socket():
+    """A v3-only language forced on a v2-layout model (or an unknown
+    model) must error THIS utterance, not raise through the WS loop."""
+    import asyncio
+
+    import numpy as np
+
+    from wis_tpu.runtime.batcher import InferenceExecutor
+    from wis_tpu.runtime.engine import WhisperEngine
+    from wis_tpu.runtime.residency import ModelRegistry
+    from wis_tpu.server.session import DataChannelMessage, StreamingSession
+    from wis_tpu.settings import APISettings
+
+    s = APISettings(max_decode_tokens=2, whisper_model_default="tiny",
+                    batch_window_s=0.01)
+    executor = InferenceExecutor(WhisperEngine(ModelRegistry(s), s), s)
+    executor.start()
+    try:
+        session = StreamingSession(executor, s)
+
+        async def go():
+            await session.handle(DataChannelMessage("start", {}))
+            pcm = (np.zeros(8000, np.float32) * 32767).astype("<i2")
+            session.feed_pcm(pcm.tobytes())
+            return await session.handle(
+                DataChannelMessage(
+                    "stop", {"model": "tiny", "force_language": "yue"}
+                )
+            )
+
+        responses = asyncio.run(go())
+        assert len(responses) == 1
+        import json as _json
+
+        parsed = _json.loads(responses[0])
+        assert parsed["type"] == "error"
+        assert "large-v3" in parsed["obj"]["msg"]
+    finally:
+        executor.shutdown()

@@ -657,6 +657,28 @@ class UnsupportedLanguageError(ValueError):
     present only in the large-v3 family's 51866-token vocabulary)."""
 
 
+def unsupported_language(force_language: str, model: str) -> bool:
+    """True when `force_language` resolves to a code the selected
+    model's vocabulary cannot express (v3-only codes like `yue` on a
+    v2-layout model). Config-only — never loads weights. Callers check
+    BEFORE enqueueing so one bad request can't fail a coalesced batch
+    (ADVICE r2); unknown models/languages return False (their own 400
+    paths handle those)."""
+    try:
+        from wis_tpu.languages import to_language_code
+        from wis_tpu.models.whisper.config import (
+            WHISPER_CONFIGS,
+            resolve_model_name,
+        )
+        from wis_tpu.models.whisper.tokenizer import layout_for_vocab
+
+        cfg = WHISPER_CONFIGS[resolve_model_name(model)]
+        code = to_language_code(force_language)
+        return code not in layout_for_vocab(cfg.n_vocab).lang_codes
+    except (KeyError, ValueError):
+        return False
+
+
 def _check_layout_language(language: str, tok, model_name: str) -> None:
     """Reject v3-only language codes on v2-layout models instead of the
     tokenizer's silent <|en|> fallback (ADVICE r2: forcing language=yue

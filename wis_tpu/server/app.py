@@ -73,25 +73,7 @@ def _asr_response(result, include_stats: bool = True) -> dict:
     return payload
 
 
-def _unsupported_language(force_language: str, model: str) -> bool:
-    """True when `force_language` resolves to a code the selected model's
-    vocabulary cannot express (v3-only codes like `yue` on a v2-layout
-    model) — checked before enqueue so one bad request can't fail a
-    coalesced batch (ADVICE r2)."""
-    try:
-        from wis_tpu.languages import to_language_code
-        from wis_tpu.models.whisper.config import (
-            WHISPER_CONFIGS,
-            resolve_model_name,
-        )
-        from wis_tpu.models.whisper.tokenizer import layout_for_vocab
-
-        cfg = WHISPER_CONFIGS[resolve_model_name(model)]
-        code = to_language_code(force_language)
-        return code not in layout_for_vocab(cfg.n_vocab).lang_codes
-    except (KeyError, ValueError):
-        # unknown model / language — the existing 400 paths cover these
-        return False
+from wis_tpu.runtime.engine import unsupported_language as _unsupported_language
 
 
 async def _run_asr(request: web.Request, req: ASRRequest):

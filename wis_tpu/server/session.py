@@ -168,10 +168,34 @@ class StreamingSession:
                 force_language=obj.get("force_language"),
                 translate=bool(obj.get("translate", False)),
             )
+            from wis_tpu.runtime.engine import unsupported_language
+
+            if req.force_language and unsupported_language(
+                req.force_language, req.model
+            ):
+                # rejected BEFORE enqueue so the bad request can't fail
+                # a coalesced batch of innocent neighbors
+                return [
+                    _msg(
+                        "error",
+                        {
+                            "msg": (
+                                f"force_language {req.force_language!r} "
+                                "requires a large-v3-family model"
+                            )
+                        },
+                    )
+                ]
             loop = asyncio.get_running_loop()
-            result = await loop.run_in_executor(
-                None, lambda: self.executor.submit_sync(req)
-            )
+            try:
+                result = await loop.run_in_executor(
+                    None, lambda: self.executor.submit_sync(req)
+                )
+            except (ValueError, KeyError) as e:
+                # bad per-request overrides (unknown model, v3-only
+                # language on a v2-layout model, …) fail THIS utterance,
+                # not the socket
+                return [_msg("error", {"msg": str(e) or "invalid request"})]
             return [
                 _msg("infer", {"text": result.text, "language": result.language,
                                "time": result.infer_time_ms,
