@@ -154,7 +154,12 @@ def _longform_row() -> None:
         whisper_model_default="base",
         beam_size=1,
         long_beam_size=1,  # the row fixes beam 1 (reference protocol)
-        batch_buckets=["1", "2", "4", "8"],
+        # all 13 chunk windows decode as ONE batch-16 dispatch — base's
+        # KV/activations are tiny, and each extra dispatch costs a full
+        # tunnel round-trip (the reference's concurrent_gpu_chunks knob,
+        # tuned the same way its GPU configs are)
+        batch_buckets=["1", "2", "4", "8", "16"],
+        concurrent_gpu_chunks=16,
     )
     eng = WhisperEngine(ModelRegistry(settings), settings)
     # 180 s fixture: loop the 29.2 s reference clip (falls back to

@@ -27,12 +27,11 @@ from wis_tpu.ops.fused_decode import (
     build_fused_decode_step,
     fused_decode_step_reference,
     pack_decoder,
-    pack_decoder4,
 )
 from wis_tpu.ops.quant import quantize_whisper_params
 
 
-def micro(wbits=8):
+def micro():
     cfg = WhisperConfig(
         name="micro-fused-step",
         n_audio_state=128, n_audio_head=2, n_audio_layer=2,
@@ -53,9 +52,7 @@ def micro(wbits=8):
     sel[:, :9] = np.eye(BK)[:, None, :]
     sel = jnp.asarray(sel.reshape(BK, BK * T))
 
-    if wbits == 4:
-        packed = pack_decoder4(params, cfg)
-    step = build_fused_decode_step(cfg, bk=BK, t_cache=T, s_audio=S, wbits=wbits)
+    step = build_fused_decode_step(cfg, bk=BK, t_cache=T, s_audio=S)
     x_out, k_new, v_new = jax.jit(step)(
         packed, x_emb, kc, vc, xak, xav, sel, jnp.int32(9)
     )
@@ -71,7 +68,7 @@ def micro(wbits=8):
     print("micro OK")
 
 
-def timeit(t_cache=128, steps=16, bk=5, wbits=8):
+def timeit(t_cache=128, steps=16, bk=5):
     cfg = WHISPER_CONFIGS["large-v2"]
     D = cfg.n_text_state
     H = cfg.n_text_head
@@ -81,7 +78,7 @@ def timeit(t_cache=128, steps=16, bk=5, wbits=8):
     K = bk
     rng = np.random.default_rng(0)
     params = quantize_whisper_params(random_params(cfg, seed=0, dtype=jnp.bfloat16))
-    packed = (pack_decoder4 if wbits == 4 else pack_decoder)(params, cfg)
+    packed = pack_decoder(params, cfg)
     dec_ln_g = params["decoder"]["ln"]["g"].astype(jnp.float32)
     dec_ln_b = params["decoder"]["ln"]["b"].astype(jnp.float32)
     emb = params["decoder"]["tok_emb"]
@@ -99,7 +96,7 @@ def timeit(t_cache=128, steps=16, bk=5, wbits=8):
         jnp.bfloat16,
     )
 
-    step = build_fused_decode_step(cfg, bk=K, t_cache=t_cache, s_audio=S, wbits=wbits)
+    step = build_fused_decode_step(cfg, bk=K, t_cache=t_cache, s_audio=S)
 
     @jax.jit
     def run(packed, kc, vc, xak, xav):
@@ -156,7 +153,7 @@ def timeit(t_cache=128, steps=16, bk=5, wbits=8):
     med = sorted(times)[len(times) // 2]
     per = (med - 26.0) / steps
     print(
-        f"fused step (T={t_cache}, K={bk}, w{wbits}): {per:.2f} ms/step "
+        f"fused step (T={t_cache}, K={bk}): {per:.2f} ms/step "
         f"({steps}-step scan, raw {['%.1f' % t for t in times]})"
     )
 
@@ -439,12 +436,6 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "micro"
     if mode == "micro":
         micro()
-    elif mode == "micro4":
-        micro(wbits=4)
-    elif mode == "time4":
-        timeit(
-            t_cache=int(sys.argv[2]) if len(sys.argv) > 2 else 128, wbits=4
-        )
     elif mode == "parts":
         parts(t_cache=int(sys.argv[2]) if len(sys.argv) > 2 else 128)
     elif mode == "glue":

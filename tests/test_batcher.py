@@ -151,7 +151,7 @@ def test_coalesced_fused_matches_xla(engine):
         got = fused_engine.transcribe_coalesced(reqs)
         want = engine.transcribe_coalesced(reqs)
         assert any(
-            k[2] > 1 and k[-1] is True for k in fused_engine._programs
+            k[2] > 1 and k[8] is True for k in fused_engine._programs
         ), "expected a fused batch>1 program"
         for g, w in zip(got, want):
             assert g.text == w.text

@@ -158,4 +158,4 @@ def test_fused_decode_engine_path():
     res = eng.transcribe(_audio(1.0), model="tiny", beam_size=2, max_tokens=4)
     assert isinstance(res.text, str)
     assert res.audio_duration_ms == 1000
-    assert any(k[-1] is True for k in eng._programs)  # fused program compiled
+    assert any(k[8] is True for k in eng._programs)  # fused program compiled

@@ -7,6 +7,7 @@ import pytest
 
 from wis_tpu.decoding.fused import (
     build_asr_program,
+    pack_ctl,
     packed_width,
     unpack_asr_result,
 )
@@ -43,8 +44,9 @@ def _prompts(batch=1):
     )
 
 
-def _mask(batch=1, value=1):
-    return jnp.asarray(np.full(batch, value, np.int32))
+def _ctl(prompts, cap, mask=None):
+    m = np.ones(prompts.shape[0], np.int32) if mask is None else np.asarray(mask, np.int32)
+    return jnp.asarray(pack_ctl(prompts, m, cap))
 
 
 def test_plain_program_packs_correctly(params):
@@ -53,7 +55,7 @@ def test_plain_program_packs_correctly(params):
         suppress_tokens=(), begin_suppress_tokens=(),
     )
     packed = np.asarray(
-        prog(params, jnp.asarray(_audio_i16()), jnp.asarray(_prompts()), jnp.int32(MAX_NEW), _mask(1))
+        prog(params, jnp.asarray(_audio_i16()), _ctl(_prompts(), MAX_NEW))
     )
     assert packed.shape == (1, packed_width(BEAM, MAX_NEW))
     tokens, lengths, best, lang_idx, lang_prob = unpack_asr_result(
@@ -71,7 +73,7 @@ def test_detect_variant_sets_language(params):
         suppress_tokens=(), begin_suppress_tokens=(), detect_language=True,
     )
     packed = np.asarray(
-        prog(params, jnp.asarray(_audio_i16(seed=1)), jnp.asarray(_prompts()), jnp.int32(MAX_NEW), _mask(1))
+        prog(params, jnp.asarray(_audio_i16(seed=1)), _ctl(_prompts(), MAX_NEW))
     )
     _, _, _, lang_idx, lang_prob = unpack_asr_result(packed, BEAM, MAX_NEW)
     assert 0 <= lang_idx[0] < 99
@@ -84,7 +86,7 @@ def test_translate_variant_packs_both_passes(params):
         suppress_tokens=(), begin_suppress_tokens=(), translate=True,
     )
     packed = np.asarray(
-        prog(params, jnp.asarray(_audio_i16(seed=2)), jnp.asarray(_prompts()), jnp.int32(MAX_NEW), _mask(1))
+        prog(params, jnp.asarray(_audio_i16(seed=2)), _ctl(_prompts(), MAX_NEW))
     )
     w = packed_width(BEAM, MAX_NEW)
     assert packed.shape == (1, 2 * w)
@@ -111,7 +113,7 @@ def test_detect_matches_split_pipeline(params):
         suppress_tokens=(), begin_suppress_tokens=(), detect_language=True,
     )
     packed = np.asarray(
-        prog(params, jnp.asarray(audio), jnp.asarray(_prompts()), jnp.int32(2), _mask(1))
+        prog(params, jnp.asarray(audio), _ctl(_prompts(), 2))
     )
     _, _, _, lang_idx, _ = unpack_asr_result(packed, 1, 2)
     assert int(lang_idx[0]) == int(idx_ref[0])
@@ -123,7 +125,7 @@ def test_batched_fused(params):
         suppress_tokens=(), begin_suppress_tokens=(),
     )
     packed = np.asarray(
-        prog(params, jnp.asarray(_audio_i16(2, seed=4)), jnp.asarray(_prompts(2)), jnp.int32(MAX_NEW), _mask(2))
+        prog(params, jnp.asarray(_audio_i16(2, seed=4)), _ctl(_prompts(2), MAX_NEW))
     )
     assert packed.shape == (2, packed_width(BEAM, MAX_NEW))
 
@@ -140,8 +142,7 @@ def test_detect_mask_protects_forced_rows(params):
         suppress_tokens=(), begin_suppress_tokens=(), detect_language=True,
     )
     packed = np.asarray(
-        prog(params, jnp.asarray(audio), jnp.asarray(prompts),
-             jnp.int32(MAX_NEW), jnp.asarray(np.asarray([1, 0], np.int32)))
+        prog(params, jnp.asarray(audio), _ctl(prompts, MAX_NEW, [1, 0]))
     )
     tokens, _, _, lang_idx, lang_prob = unpack_asr_result(packed, BEAM, MAX_NEW)
     assert lang_idx[0] >= 0  # detect applied to row 0
@@ -154,8 +155,7 @@ def test_detect_mask_protects_forced_rows(params):
         suppress_tokens=(), begin_suppress_tokens=(),
     )
     packed_ref = np.asarray(
-        plain(params, jnp.asarray(audio), jnp.asarray(prompts),
-              jnp.int32(MAX_NEW), _mask(2))
+        plain(params, jnp.asarray(audio), _ctl(prompts, MAX_NEW))
     )
     tokens_ref, *_ = unpack_asr_result(packed_ref, BEAM, MAX_NEW)
     np.testing.assert_array_equal(tokens[1], tokens_ref[1])

@@ -367,104 +367,12 @@ def test_fused_generate_asymmetric_v3_decoder():
 
 
 # --------------------------------------------------------------------- #
-# int4 weight stream (wbits=4)
+# int4 alias (the int4 decode weight stream was removed in round 3 —
+# measured perf-neutral in round 2, BENCH.md §int4; the RTN quantizer
+# itself stays in ops/quant.py and settings.quant="int4" aliases int8)
 # --------------------------------------------------------------------- #
-def test_int4_kernel_matches_reference():
-    """wbits=4: the kernel's in-register nibble unpack + group-scaled
-    partial dots must match the XLA int4 mirror exactly (same math)."""
-    from wis_tpu.ops.fused_decode import pack_decoder4
-
-    n_written = 7
-    (params, _, x_emb, k_cache, v_cache, xa_k, xa_v, sel, _) = _setup(
-        n_written=n_written
-    )
-    packed4 = pack_decoder4(params, CFG)
-    assert packed4.w.shape == (L, 14, D // 2, D)
-    step = build_fused_decode_step(CFG, bk=BK, t_cache=T, s_audio=S, wbits=4)
-    kc_flat = _tmajor(k_cache)
-    vc_flat = _tmajor(v_cache)
-    x_out, kc_out, vc_out = jax.jit(step)(
-        packed4, x_emb, kc_flat, vc_flat, xa_k, xa_v, sel,
-        jnp.int32(n_written),
-    )
-    x_ref, kc_ref, vc_ref = fused_decode_step_reference(
-        CFG, packed4, x_emb, kc_flat, vc_flat, xa_k, xa_v, sel,
-        pos=n_written,
-    )
-    np.testing.assert_allclose(
-        np.asarray(x_out), np.asarray(x_ref), rtol=2e-2, atol=2e-2
-    )
-    np.testing.assert_allclose(
-        np.asarray(kc_out, np.float32), np.asarray(kc_ref, np.float32),
-        rtol=2e-2, atol=2e-2,
-    )
-
-
-def test_int4_close_to_int8_activations():
-    """int4 weights are a perturbation of the int8 ones: the step's
-    output activations must stay highly correlated (weight-only RTN with
-    group scales — the quality knob behind settings.quant='int4')."""
-    from wis_tpu.ops.fused_decode import pack_decoder4
-
-    (params, packed8, x_emb, k_cache, v_cache, xa_k, xa_v, sel, _) = _setup()
-    packed4 = pack_decoder4(params, CFG)
-    kc_flat = _tmajor(k_cache)
-    vc_flat = _tmajor(v_cache)
-    x8, _, _ = fused_decode_step_reference(
-        CFG, packed8, x_emb, kc_flat, vc_flat, xa_k, xa_v, sel, pos=7
-    )
-    x4, _, _ = fused_decode_step_reference(
-        CFG, packed4, x_emb, kc_flat, vc_flat, xa_k, xa_v, sel, pos=7
-    )
-    a, b = np.asarray(x8).ravel(), np.asarray(x4).ravel()
-    corr = np.corrcoef(a, b)[0, 1]
-    # random gaussian micro-net weights are RTN's worst case (no outlier
-    # structure, 64-wide groups); this is a perturbation bound, not a
-    # transcript-quality claim — that needs real checkpoints
-    assert corr > 0.95, corr
-
-
-def test_int4_generate_end_to_end():
-    """The production beam program with fused=True, wbits=4 decodes from
-    the restricted candidate set and matches the XLA ancestry path run on
-    int4-dequantized effective weights."""
-    from wis_tpu.decoding.beam import build_generate_xa
-    from wis_tpu.ops.fused_decode import pack_decoder4
-
-    cfg = WhisperConfig(
-        name="micro-int4-gen",
-        n_audio_state=D, n_audio_head=H, n_audio_layer=L,
-        n_text_state=D, n_text_head=H, n_text_layer=L,
-        n_audio_ctx=S,
-    )
-    rng = np.random.default_rng(29)
-    params = quantize_whisper_params(random_params(cfg, seed=29, dtype=jnp.bfloat16))
-    packed4 = pack_decoder4(params, cfg)
-    xa_k = jnp.asarray(rng.standard_normal((L, 1, H, DH, S)) * 0.3, jnp.bfloat16)
-    xa_v = jnp.asarray(rng.standard_normal((L, 1, H, DH, S)) * 0.3, jnp.bfloat16)
-    prompt = jnp.asarray([1, 2, 3], jnp.int32)
-    allowed = {100, 200, 300, 400, 500, 600}
-    sup = tuple(i for i in range(cfg.n_vocab) if i not in allowed)
-    kw = dict(
-        beam_size=2, batch=1, max_new_tokens=5, prompt_len=3,
-        suppress_tokens=sup, begin_suppress_tokens=(),
-    )
-    rf = build_generate_xa(cfg, **kw, fused=True, wbits=4)(
-        params, packed4, (xa_k, xa_v), prompt, jnp.int32(5)
-    )
-    toks = np.asarray(rf.tokens)
-    # every decoded (non-EOT) token comes from the allowed set
-    from wis_tpu.models.whisper.tokenizer import EOT as _EOT
-
-    flat = toks.ravel()
-    assert set(flat[flat != _EOT]).issubset(allowed), flat
-
-
-def test_engine_int4_end_to_end():
-    """settings.quant="int4" wires through the engine: the registry
-    keeps the int8 tree, the engine packs PackedDecoder4 and builds
-    wbits=4 fused programs, and a request decodes."""
-    from wis_tpu.ops.fused_decode import PackedDecoder4
+def test_quant_int4_setting_aliases_int8():
+    from wis_tpu.ops.fused_decode import PackedDecoder
     from wis_tpu.runtime.engine import WhisperEngine
     from wis_tpu.runtime.residency import ModelRegistry
     from wis_tpu.settings import APISettings
@@ -483,5 +391,4 @@ def test_engine_int4_end_to_end():
     res = eng.transcribe(audio, model="tiny", beam_size=1)
     assert isinstance(res.text, str)
     loaded = eng.registry.get("tiny")
-    assert isinstance(eng._packed_decoder(loaded), PackedDecoder4)
-    assert any(k[-1] is True for k in eng._programs), "expected fused program"
+    assert isinstance(eng._packed_decoder(loaded), PackedDecoder)

@@ -153,16 +153,11 @@ def build_generate_xa(
     with_timestamps: bool = False,
     ancestry: bool = True,
     fused: bool = False,
-    wbits: int = 8,
     renorm_suppressed: bool = True,
     eot_id: Optional[int] = None,
     max_initial_ts_index: Optional[int] = 50,
 ):
     """Return a jitted generate(params, xa_kv, prompt, token_cap) program.
-
-    wbits=4 (fused only): the decode kernel streams nibble-packed int4
-    weights (PackedDecoder4 from ops.fused_decode.pack_decoder4) —
-    halves the per-token weight DMA at a small weight-quantization cost.
 
     xa_kv: precomputed cross-attention K/V for `batch` windows (from
     build_encode); prompt: (prompt_len,) shared across the batch (the
@@ -228,7 +223,7 @@ def build_generate_xa(
         cache_len = ((cache_len + 127) // 128) * 128
         step_fn = build_fused_decode_step(
             cfg, bk=BK, t_cache=cache_len, s_audio=cfg.n_audio_ctx,
-            n_seq=B, wbits=wbits,
+            n_seq=B,
         )
         # the decode tail (LN + logits + top-k + lse) fuses too; the
         # timestamp grammar folds in as per-beam int32 scalars compared

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from wis_tpu.audio.mel import _log_mel_jax
+from wis_tpu.audio.mel import N_SAMPLES, _log_mel_jax
 from wis_tpu.decoding.beam import build_generate_xa
 from wis_tpu.decoding.detect import N_LANG, _detect_from_kv
 from wis_tpu.models.whisper.config import WhisperConfig
@@ -50,18 +50,29 @@ def build_asr_program(
     length_penalty: float = 1.0,
     with_timestamps: bool = False,
     fused_step: bool = False,
-    wbits: int = 8,
+    n_samples: int = N_SAMPLES,
 ):
-    """Return jitted asr(params, audio_i16 (B, n_samples), prompt (B, P),
-    token_cap) → packed int32 (B, W) with W = K*max_new + K + 3, doubled
+    """Return jitted asr(params, audio_i16 (B, n_samples), ctl (B, P+2))
+    → packed int32 (B, W) with W = K*max_new + K + 3, doubled
     (transcribe ++ translate halves) when translate=True.
 
-    Audio crosses the PCIe/host boundary as int16 (the source bit depth —
-    halves transfer size); scaling to float happens on device.
+    The host↔device boundary is TWO transfers, sized to the content:
 
-    fused_step=True (batch-1 programs on TPU): the decode loop runs the
-    all-layers Pallas kernel (ops/fused_decode); the program then takes a
-    `packed` PackedDecoder argument right after `params`.
+    - audio crosses as int16 (the source bit depth — halves the bytes)
+      at a bucketed length `n_samples` ≤ 30 s; zero-padding to the full
+      window happens ON DEVICE (identical to the host pad_or_trim).
+      Through a network device tunnel each transferred megabyte costs
+      ~10 ms and each extra array an RPC round — shipping the padded
+      480000-sample window for a 4 s utterance tripled the request's
+      fixed cost (BENCH.md r3).
+    - ctl packs prompt ‖ detect_mask ‖ token_cap into one int32 array:
+      columns [0:P) per-row prompts, [P] the per-row detect mask (rows
+      with a forced/default language keep their prompt token and report
+      lang_idx −1), [P+1] the runtime token cap (row 0 is read).
+
+    fused_step=True (TPU programs): the decode loop runs the all-layers
+    Pallas kernel (ops/fused_decode); the program then takes a `packed`
+    PackedDecoder argument right after `params`.
     """
     from wis_tpu.models.whisper.tokenizer import layout_for_vocab
 
@@ -79,16 +90,15 @@ def build_asr_program(
         length_penalty=length_penalty,
         with_timestamps=with_timestamps,
         fused=fused_step,
-        wbits=wbits,
     )
 
-    def _asr(params, packed_dec, audio_i16, prompt, token_cap, detect_mask):
-        """detect_mask (B,) int32: rows where the detected language
-        replaces the prompt's language token. Rows with a forced or
-        default language keep theirs even when coalesced into a detect
-        batch (their lang_idx reports -1). Ignored by the non-detect
-        variant."""
+    def _asr(params, packed_dec, audio_i16, ctl):
+        prompt = ctl[:, :prompt_len]
+        detect_mask = ctl[:, prompt_len]
+        token_cap = ctl[0, prompt_len + 1]
         audio = audio_i16.astype(jnp.float32) / 32768.0
+        if n_samples < N_SAMPLES:
+            audio = jnp.pad(audio, ((0, 0), (0, N_SAMPLES - n_samples)))
         mel = _log_mel_jax(audio, n_mels=cfg.n_mels)  # (B, 80, 3000)
         xa = encode(params, mel, cfg)
         xa_kv = cross_kv(params, xa, cfg)
@@ -133,16 +143,31 @@ def build_asr_program(
     if fused_step:
 
         @jax.jit
-        def asr(params, packed_dec, audio_i16, prompt, token_cap, detect_mask):
-            return _asr(params, packed_dec, audio_i16, prompt, token_cap, detect_mask)
+        def asr(params, packed_dec, audio_i16, ctl):
+            return _asr(params, packed_dec, audio_i16, ctl)
 
     else:
 
         @jax.jit
-        def asr(params, audio_i16, prompt, token_cap, detect_mask):
-            return _asr(params, None, audio_i16, prompt, token_cap, detect_mask)
+        def asr(params, audio_i16, ctl):
+            return _asr(params, None, audio_i16, ctl)
 
     return asr
+
+
+def pack_ctl(prompts: np.ndarray, detect_mask: np.ndarray,
+             token_cap: int) -> np.ndarray:
+    """Host-side: prompts (B, P) ‖ detect_mask (B,) ‖ token_cap → (B, P+2)
+    int32, the program's single small transfer."""
+    b = prompts.shape[0]
+    return np.concatenate(
+        [
+            np.asarray(prompts, np.int32),
+            np.asarray(detect_mask, np.int32).reshape(b, 1),
+            np.full((b, 1), token_cap, np.int32),
+        ],
+        axis=1,
+    )
 
 
 def unpack_asr_result(packed: np.ndarray, beam_size: int, max_new_tokens: int):

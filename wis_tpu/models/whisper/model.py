@@ -78,20 +78,38 @@ def _attn_block(x, blk, layer, n_heads, mask=None, kv=None):
     """
     import os
 
+    d_model = x.shape[-1]
+    flash_ok = (
+        mask is None
+        and kv is None
+        and x.shape[-2] >= 512
+        and jax.default_backend() not in ("cpu",)
+        and not os.environ.get("WIS_NO_FLASH")
+    )
+    if (
+        flash_ok
+        and d_model // n_heads in (64, 128)
+        and not os.environ.get("WIS_NO_PACKED_FLASH")
+    ):
+        # packed-layout kernel: q/k/v stay (B, T, D) end to end — the
+        # (B, H, T, Dh) head transposes otherwise move ~4·B·T·D bytes
+        # per layer through HBM (≈ 7.7 GB per large-v2 encoder pass,
+        # most of the attention block's measured cost)
+        from wis_tpu.ops.flash import flash_attention_packed
+
+        qp = _linear(x, blk["q_w"], blk["q_b"])
+        kp = _linear(x, blk["k_w"])
+        vp = _linear(x, blk["v_w"], blk["v_b"])
+        out = flash_attention_packed(qp, kp, vp, n_heads)
+        return _linear(out, blk["o_w"], blk["o_b"])
+
     q = qkv_heads(_linear(x, blk["q_w"], blk["q_b"]), n_heads)
     if kv is None:
         k = qkv_heads(_linear(x, blk["k_w"]), n_heads)
         v = qkv_heads(_linear(x, blk["v_w"], blk["v_b"]), n_heads)
     else:
         k, v = kv
-    use_flash = (
-        mask is None
-        and kv is None
-        and q.shape[-2] >= 512
-        and q.shape[-1] % 8 == 0
-        and jax.default_backend() not in ("cpu",)
-        and not os.environ.get("WIS_NO_FLASH")
-    )
+    use_flash = flash_ok and q.shape[-1] % 8 == 0
     if use_flash:
         from wis_tpu.ops.flash import flash_attention
 
@@ -140,7 +158,10 @@ def encode(params: dict, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
         x = x + _mlp(layer_norm(x, blk["mlp_ln"]["g"], blk["mlp_ln"]["b"]), blk["mlp"])
         return x, None
 
-    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    import os
+
+    unroll = int(os.environ.get("WIS_ENC_UNROLL", "1"))
+    x, _ = jax.lax.scan(block, x, enc["blocks"], unroll=unroll)
     return layer_norm(x, enc["ln_post"]["g"], enc["ln_post"]["b"])
 
 

@@ -62,6 +62,133 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, nk, tk, valid,
         o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
+def _kernel_packed(
+    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, nk, tk, valid,
+    scale, dh, n_sub,
+):
+    """Packed-layout variant: blocks carry `n_sub` heads side-by-side in
+    the 128-lane dim (Dh=64 → head pairs); each head runs its own online
+    softmax over static 64-lane slices (the same pattern
+    ops/fused_decode.py uses per head)."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    key_ids = j * tk + jax.lax.broadcasted_iota(
+        jnp.int32, (q_ref.shape[1], tk), 1
+    )
+
+    for h in range(n_sub):
+        q = q_ref[0][:, h * dh:(h + 1) * dh]  # (TQ, Dh)
+        k = k_ref[0][:, h * dh:(h + 1) * dh]  # (TK, Dh)
+        v = v_ref[0][:, h * dh:(h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (TQ, TK)
+        s = jnp.where(key_ids < valid, s, NEG_INF)
+
+        m_prev = m_ref[:, h:h + 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:, h:h + 1] = l_ref[:, h:h + 1] * alpha + jnp.sum(
+            p, axis=-1, keepdims=True
+        )
+        acc_ref[:, h * dh:(h + 1) * dh] = (
+            acc_ref[:, h * dh:(h + 1) * dh] * alpha
+            + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        m_ref[:, h:h + 1] = m_new
+
+    @pl.when(j == nk - 1)
+    def _():
+        out = [
+            acc_ref[:, h * dh:(h + 1) * dh]
+            / jnp.maximum(l_ref[:, h:h + 1], 1e-30)
+            for h in range(n_sub)
+        ]
+        o_ref[0] = jnp.concatenate(out, axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "block_q", "block_k"))
+def flash_attention_packed(
+    q: jnp.ndarray,  # (B, T, D) — heads packed along the model dim
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    n_heads: int,
+    block_q: int = 512,
+    block_k: int = 1536,
+) -> jnp.ndarray:
+    """Unmasked attention on PACKED (B, T, D) q/k/v — no (B, H, T, Dh)
+    transposes on either side. The encoder's head split/merge otherwise
+    moves ~4 × B·T·D bytes per layer through HBM (≈ 7.7 GB per large-v2
+    pass — measured as most of the attention block's cost,
+    BENCH.md r3). The grid walks head PAIRS so lane blocks stay
+    128-aligned (Dh = 64); per-head math slices 64 lanes statically.
+    Output is packed (B, T, D), ready for the o-projection."""
+    b, t, d = q.shape
+    dh = d // n_heads
+    assert dh in (64, 128), dh
+    n_sub = 128 // dh  # heads per 128-lane block
+    lanes = n_sub * dh  # 128
+    n_grp = n_heads // n_sub
+    scale = dh ** -0.5
+
+    tile = max(block_q, block_k)
+    t_pad = ((t + tile - 1) // tile) * tile
+    if t_pad != t:
+        pad = [(0, 0), (0, t_pad - t), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    nq = t_pad // block_q
+    nk = t_pad // block_k
+    grid = (b * n_grp, nq, nk)
+
+    def idx(g, i, j_):
+        return (g // n_grp, i, g % n_grp)
+
+    def idx_k(g, i, j_):
+        return (g // n_grp, j_, g % n_grp)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_packed, nk=nk, tk=block_k, valid=t, scale=scale,
+            dh=dh, n_sub=n_sub,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, lanes), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, lanes), idx_k, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, lanes), idx_k, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, lanes), idx, memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, n_sub), jnp.float32),   # m per head
+            pltpu.VMEM((block_q, n_sub), jnp.float32),   # l per head
+            pltpu.VMEM((block_q, lanes), jnp.float32),   # acc
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_heads * t_pad * t_pad * dh,
+            bytes_accessed=4 * b * t_pad * d * 2,
+            transcendentals=b * n_heads * t_pad * t_pad,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(q, k, v)
+    return out[:, :t]
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def flash_attention(
     q: jnp.ndarray,  # (B, H, T, D)

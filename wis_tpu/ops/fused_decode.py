@@ -63,19 +63,6 @@ class PackedDecoder(NamedTuple):
     ln: jnp.ndarray  # (L, 6, D) f32 — attn_ln g,b | cross_ln g,b | mlp_ln g,b
 
 
-class PackedDecoder4(NamedTuple):
-    """int4 variant (wbits=4): nibble-packed chunks halve the per-token
-    weight-stream bytes — the decode step's dominant cost (BENCH.md:
-    ~1.0 ms of the 1.4 ms kernel time is the int8 weight DMA on
-    large-v2). Group-wise scales along K bound the added quantization
-    error (weight-only RTN, clip ±7)."""
-
-    w: jnp.ndarray  # (L, NC, D//2, D) int8 — lo nibble rows [0,D/2), hi rows [D/2,D)
-    s: jnp.ndarray  # (L, NC, G, D) f32 — per-(K-group, output) scales
-    b: jnp.ndarray  # (L, NC, 1, D) f32 — biases (zeros where absent)
-    ln: jnp.ndarray  # (L, 6, D) f32
-
-
 def _get_qs(leaf):
     """Return (int8 q, f32 per-col scale) from a quantized or plain leaf."""
     if isinstance(leaf, dict) and "q" in leaf:
@@ -148,94 +135,6 @@ def _effective_w(leaf) -> jnp.ndarray:
     return leaf.astype(jnp.float32)
 
 
-def pack_decoder4(params: dict, cfg: WhisperConfig) -> PackedDecoder4:
-    """Repack the decoder blocks as nibble-packed int4 chunks with
-    group-wise scales (same chunk layout as pack_decoder)."""
-    from wis_tpu.ops.quant import int4_group_size, quantize_weight_int4
-
-    dec = params["decoder"]["blocks"]
-    L = cfg.n_text_layer
-    D = cfg.n_text_state
-    group = int4_group_size(D)
-    G = D // group
-
-    w = jnp.zeros((L, NC, D // 2, D), jnp.int8)
-    s = jnp.zeros((L, NC, G, D), jnp.float32)
-    b = jnp.zeros((L, NC, D), jnp.float32)
-
-    def put(ci, leaf, bias=None):
-        nonlocal w, s, b
-        q4, s4 = quantize_weight_int4(_effective_w(leaf), group)  # (L, D/2, D), (L, G, D)
-        w = w.at[:, ci].set(q4)
-        s = s.at[:, ci].set(s4)
-        if bias is not None:
-            b = b.at[:, ci].set(bias.astype(jnp.float32))
-
-    attn, cross, mlp = dec["attn"], dec["cross"], dec["mlp"]
-    put(QW, attn["q_w"], attn["q_b"])
-    put(KW, attn["k_w"])
-    put(VW, attn["v_w"], attn["v_b"])
-    put(OW, attn["o_w"], attn["o_b"])
-    put(CQW, cross["q_w"], cross["q_b"])
-    put(COW, cross["o_w"], cross["o_b"])
-
-    w1 = _effective_w(mlp["w1"])  # (L, D, F)
-    b1 = mlp["b1"].astype(jnp.float32)  # (L, F)
-    for i in range(4):
-        sl = slice(i * D, (i + 1) * D)
-        q4, s4 = quantize_weight_int4(w1[:, :, sl], group)
-        w = w.at[:, W1_0 + i].set(q4)
-        s = s.at[:, W1_0 + i].set(s4)
-        b = b.at[:, W1_0 + i].set(b1[:, sl])
-
-    w2 = _effective_w(mlp["w2"])  # (L, F, D)
-    for i in range(4):
-        q4, s4 = quantize_weight_int4(w2[:, i * D : (i + 1) * D, :], group)
-        w = w.at[:, W2_0 + i].set(q4)
-        # int4 scales are per-chunk-group — applied on each partial dot
-        # (unlike int8's single deferred per-output scale at W2_3)
-        s = s.at[:, W2_0 + i].set(s4)
-    b = b.at[:, W2_0 + 3].set(mlp["b2"].astype(jnp.float32))
-
-    ln = jnp.stack(
-        [
-            dec["attn_ln"]["g"], dec["attn_ln"]["b"],
-            dec["cross_ln"]["g"], dec["cross_ln"]["b"],
-            dec["mlp_ln"]["g"], dec["mlp_ln"]["b"],
-        ],
-        axis=1,
-    ).astype(jnp.float32)
-    return PackedDecoder4(w=w, s=s, b=b[:, :, None, :], ln=ln)
-
-
-def _qdot4(src_bf16, wchunk, schunk, group: int):
-    """(bk, K) bf16 @ nibble-packed (K/2, N) int8 with per-(group, out)
-    scales (G, N) → (bk, N) f32. In-register unpack: the low/high nibble
-    halves cover K rows [0, K/2) / [K/2, K); each K-group's partial dot
-    is scaled independently. Mosaic-safe: int32 shifts, plain 2-D dots."""
-    G = schunk.shape[0]
-    half = G // 2
-    w32 = wchunk.astype(jnp.int32)
-    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(w32, 28), 28)
-    hi = jax.lax.shift_right_arithmetic(jax.lax.shift_left(w32, 24), 28)
-    y = None
-    for g in range(G):
-        if g < half:
-            blk = lo[g * group : (g + 1) * group]
-        else:
-            blk = hi[(g - half) * group : (g - half + 1) * group]
-        part = (
-            jnp.dot(
-                src_bf16[:, g * group : (g + 1) * group],
-                blk.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            * schunk[g][None, :]
-        )
-        y = part if y is None else y + part
-    return y
-
-
 def _pick_groups(h: int, minor: int, budget_bytes: int) -> int:
     """Largest head-group size dividing h whose slice fits the budget."""
     per_head = minor * 2  # bf16
@@ -258,7 +157,6 @@ def build_fused_decode_step(
     t_cache: int,  # cache length, multiple of 128
     s_audio: int = 1500,
     n_seq: int = 1,
-    wbits: int = 8,  # 8 → PackedDecoder chunks; 4 → PackedDecoder4 nibbles
     _skip: tuple = (),  # probe-only: {"w","cache","xa"} disable a stream
 ):
     """Return fn(packed, x_emb, k_cache, v_cache, xa_k, xa_v, sel, pos)
@@ -299,13 +197,8 @@ def build_fused_decode_step(
     L = cfg.n_text_layer
     F = 4 * D
     assert F == 4 * D
-    assert wbits in (8, 4)
-    from wis_tpu.ops.quant import int4_group_size
-
-    w_group = int4_group_size(D)
-    n_g4 = D // w_group  # scale groups per chunk (wbits=4)
-    w_rows = D // 2 if wbits == 4 else D  # streamed chunk K rows
-    s_rows = n_g4 if wbits == 4 else 1  # scale rows per chunk
+    w_rows = D  # streamed chunk K rows
+    s_rows = 1  # scale rows per chunk
     assert bk % n_seq == 0, "bk must be n_seq * beams"
     k_beam = bk // n_seq
     BKT = bk * t_cache
@@ -425,8 +318,6 @@ def build_fused_decode_step(
                     src_bf16.astype(jnp.float32) * schunk[0][None, :]
                     + bchunk[None, :]
                 )
-            if wbits == 4:
-                return _qdot4(src_bf16, wchunk, schunk, w_group) + bchunk[None, :]
             y = jnp.dot(
                 src_bf16, wchunk.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
@@ -583,17 +474,12 @@ def build_fused_decode_step(
             ).astype(jnp.bfloat16)
 
         # ------------- mlp down-projection chunks -------------------- #
-        # int8: the four partial sums share one deferred per-output scale
-        # (applied at W2_3); int4 scales are per-(chunk, K-group) so each
-        # partial dot arrives pre-scaled from _qdot4
+        # the four partial sums share one deferred per-output scale
+        # (applied at W2_3)
         for i in range(4):
             wchunk, schunk, bchunk = use_w(W2_0 + i)
             if wchunk is None:  # probe: weights stream disabled
                 part = gbuf[:, i * D : (i + 1) * D].astype(jnp.float32)
-            elif wbits == 4:
-                part = _qdot4(
-                    gbuf[:, i * D : (i + 1) * D], wchunk, schunk, w_group
-                )
             else:
                 part = jnp.dot(
                     gbuf[:, i * D : (i + 1) * D],
@@ -605,10 +491,7 @@ def build_fused_decode_step(
             else:
                 yacc[:] = yacc[:] + part
             if i == 3:
-                if wbits == 4:
-                    x[:] = x[:] + yacc[:] + bchunk[None, :]
-                else:
-                    x[:] = x[:] + yacc[:] * schunk[0][None, :] + bchunk[None, :]
+                x[:] = x[:] + yacc[:] * schunk[0][None, :] + bchunk[None, :]
 
         @pl.when(l == L - 1)
         def _():
@@ -686,7 +569,7 @@ def build_fused_decode_step(
     )
 
     def step(packed, x_emb, k_cache, v_cache, xa_k, xa_v, sel, pos):
-        # packed: PackedDecoder (wbits=8) or PackedDecoder4 (wbits=4)
+        # packed: PackedDecoder (kernel-layout int8 chunks)
         return call(
             jnp.asarray(pos, jnp.int32).reshape(1),
             packed.s, packed.b, packed.ln, x_emb, sel,
@@ -733,18 +616,7 @@ def fused_decode_step_reference(
             )
         xa_mask = ok
 
-    int4 = isinstance(packed, PackedDecoder4)
-    if int4:
-        from wis_tpu.ops.quant import int4_group_size
-
-        w_group = int4_group_size(D)
-
     def wdot(src, l, ci):
-        if int4:
-            return (
-                _qdot4(src, packed.w[l, ci], packed.s[l, ci], w_group)
-                + packed.b[l, ci]
-            )
         y = jnp.dot(
             src, packed.w[l, ci].astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
@@ -817,21 +689,14 @@ def fused_decode_step_reference(
             )
             for i in range(4)
         ]
-        if int4:
-            y = sum(
-                _qdot4(g_parts[i], packed.w[l, W2_0 + i], packed.s[l, W2_0 + i], w_group)
-                for i in range(4)
+        y = sum(
+            jnp.dot(
+                g_parts[i], packed.w[l, W2_0 + i].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
             )
-            x = x + y + packed.b[l, W2_0 + 3]
-        else:
-            y = sum(
-                jnp.dot(
-                    g_parts[i], packed.w[l, W2_0 + i].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )
-                for i in range(4)
-            )
-            x = x + y * packed.s[l, W2_0 + 3] + packed.b[l, W2_0 + 3]
+            for i in range(4)
+        )
+        x = x + y * packed.s[l, W2_0 + 3] + packed.b[l, W2_0 + 3]
 
     k_new = jnp.stack(k_news)  # (L, H, BK, Dh)
     v_new = jnp.stack(v_news)

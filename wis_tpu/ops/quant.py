@@ -131,7 +131,9 @@ def quantize_whisper_params(params: Dict, keys=None, subtrees=("decoder",)) -> D
 
 
 # --------------------------------------------------------------------------- #
-# int4 (nibble-packed, group-wise scales) — fused-decode weight stream only
+# int4 quantizer (nibble-packed, group-wise scales). The fused-decode int4
+# weight stream that consumed it was removed in round 3 (perf-neutral —
+# BENCH.md §int4); the quantizer stays for future high-batch use
 # --------------------------------------------------------------------------- #
 def int4_group_size(k: int) -> int:
     """Scale-group length along K: 128 when it divides the nibble half,
@@ -147,7 +149,7 @@ def quantize_weight_int4(w: jnp.ndarray, group: int = None):
     s4 f32 (K//group, N). Values clip to [-7, 7] (symmetric grid).
 
     Halves the decode-step weight-stream bytes vs int8; the fused kernel
-    (ops/fused_decode, wbits=4) unpacks nibbles in-register and applies
+    consumer unpacks nibbles in-register and applies
     the group scales on per-group partial dots. Weight-only, RTN — the
     XLA paths (prefill/encoder) keep int8.
     """

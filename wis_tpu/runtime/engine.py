@@ -39,7 +39,12 @@ from wis_tpu.audio.chunking import Stride, chunk_iter, find_longest_common_seque
 from wis_tpu.audio.mel import N_SAMPLES, SAMPLE_RATE, pad_or_trim
 from wis_tpu.decoding.beam import trim_tokens
 from wis_tpu.decoding.detect import lang_index_to_code
-from wis_tpu.decoding.fused import build_asr_program, packed_width, unpack_asr_result
+from wis_tpu.decoding.fused import (
+    build_asr_program,
+    pack_ctl,
+    packed_width,
+    unpack_asr_result,
+)
 from wis_tpu.languages import to_language_code
 from wis_tpu.models.whisper.tokenizer import EOT, build_prompt, parse_segments
 from wis_tpu.runtime.residency import LoadedModel, ModelRegistry
@@ -122,13 +127,17 @@ class WhisperEngine:
 
     def _program(self, model: LoadedModel, *, beam: int, batch: int,
                  prompt_len: int, detect: bool, translate: bool,
-                 timestamps: bool = False, max_new: Optional[int] = None):
+                 timestamps: bool = False, max_new: Optional[int] = None,
+                 n_samples: Optional[int] = None):
         """Returns (program, fused): fused programs take a PackedDecoder
         right after params."""
+        from wis_tpu.audio.mel import N_SAMPLES
+
         max_new = max_new or self.settings.max_decode_tokens
+        n_samples = n_samples or N_SAMPLES
         fused = self._use_fused(batch, beam)
         key = (model.name, beam, batch, prompt_len, detect, translate,
-               timestamps, max_new, fused)
+               timestamps, max_new, fused, n_samples)
         prog = self._programs.get(key)
         if prog is not None:
             return prog, fused
@@ -149,17 +158,10 @@ class WhisperEngine:
                 translate=translate,
                 with_timestamps=timestamps,
                 fused_step=fused,
-                wbits=self._wbits() if fused else 8,
+                n_samples=n_samples,
             )
             self._programs[key] = prog
             return prog, fused
-
-    def _wbits(self) -> int:
-        """Fused decode-step weight width: settings.quant="int4" streams
-        nibble-packed weights through the kernel (halving its dominant
-        DMA cost); every other path (prefill, encoder, detect) keeps the
-        int8 tree."""
-        return 4 if self.settings.quant == "int4" else 8
 
     def _packed_decoder(self, model: LoadedModel):
         """Kernel-layout decoder weights, repacked once per model (HBM
@@ -168,11 +170,10 @@ class WhisperEngine:
         if model.packed is None:
             import jax
 
-            from wis_tpu.ops.fused_decode import pack_decoder, pack_decoder4
+            from wis_tpu.ops.fused_decode import pack_decoder
 
-            pack = pack_decoder4 if self._wbits() == 4 else pack_decoder
             model.packed = jax.jit(
-                lambda p: pack(p, model.cfg)
+                lambda p: pack_decoder(p, model.cfg)
             )(model.params)
         return model.packed
 
@@ -181,6 +182,19 @@ class WhisperEngine:
             if n <= b:
                 return b
         return self.settings.batch_bucket_list()[-1]
+
+    def _sample_bucket(self, content_samples: int) -> int:
+        """Audio-length compile bucket: the request transfers only
+        bucket-many int16 samples and the program zero-pads on device —
+        through the TPU tunnel each shipped megabyte costs ~10 ms, so a
+        4 s utterance must not pay for a 30 s window (BENCH.md r3)."""
+        from wis_tpu.audio.mel import N_SAMPLES, SAMPLE_RATE
+
+        for sec in self.settings.audio_second_bucket_list():
+            n = sec * SAMPLE_RATE
+            if content_samples <= n:
+                return min(n, N_SAMPLES)
+        return N_SAMPLES
 
     def _decode_bucket(
         self, duration_ms: int, token_cap: Optional[int]
@@ -241,6 +255,7 @@ class WhisperEngine:
         timestamps: bool = False,
         max_new: Optional[int] = None,
         detect_mask: Optional[np.ndarray] = None,
+        content_samples: Optional[int] = None,
     ):
         """Returns per-window dicts {tokens, length, lang_idx, lang_prob,
         tr_tokens, tr_length}.
@@ -252,6 +267,12 @@ class WhisperEngine:
         s = self.settings
         n = windows_i16.shape[0]
         bucket = self._bucket(min(n, max(1, s.concurrent_gpu_chunks)))
+        n_samp = self._sample_bucket(
+            content_samples
+            if content_samples is not None
+            else windows_i16.shape[1]
+        )
+        windows_i16 = windows_i16[:, :n_samp]
         max_new = max_new or s.max_decode_tokens
         width = packed_width(beam, max_new)
         if detect_mask is None:
@@ -286,19 +307,15 @@ class WhisperEngine:
                 translate=translate,
                 timestamps=timestamps,
                 max_new=max_new,
+                n_samples=n_samp,
             )
             args = [loaded.params]
             if prog_fused:
                 args.append(self._packed_decoder(loaded))
+            ctl = pack_ctl(g_prompts, g_mask, token_cap)
             with timer.span("asr_dispatch", trace=True):
                 packed = np.asarray(
-                    prog(
-                        *args,
-                        jnp.asarray(g_audio),
-                        jnp.asarray(g_prompts),
-                        jnp.int32(token_cap),
-                        jnp.asarray(g_mask),
-                    )
+                    prog(*args, jnp.asarray(g_audio), jnp.asarray(ctl))
                 )
             main = unpack_asr_result(packed[:, :width], beam, max_new)
             tr = (
@@ -414,6 +431,7 @@ class WhisperEngine:
                 timer,
                 timestamps=use_ts,
                 max_new=decode_bucket,
+                content_samples=(None if use_chunking else audio.shape[0]),
             )
 
         # ---- merge + text decode ---- #
@@ -589,6 +607,9 @@ class WhisperEngine:
                 timestamps=use_ts,
                 max_new=decode_bucket,
                 detect_mask=row_detects,
+                content_samples=max(
+                    int(r.audio.shape[0]) for r in requests
+                ),
             )
 
         with timer.span("decode_text"):

@@ -125,9 +125,9 @@ class ModelRegistry:
                 cfg, self._model_dir(size), seed=hash(size) % 2**31, dtype=self.dtype
             )
             if self.settings.quant in ("int8", "int4"):
-                # int4 applies only to the fused decode-step stream (the
-                # engine packs PackedDecoder4 from these int8 leaves);
-                # the XLA-visible tree stays int8 either way
+                # "int4" aliases int8 since round 3 (the int4 decode
+                # stream measured perf-neutral and was removed —
+                # settings.py / BENCH.md §int4)
                 from wis_tpu.ops.quant import quantize_whisper_params
 
                 params = quantize_whisper_params(params)

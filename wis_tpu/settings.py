@@ -113,9 +113,11 @@ class APISettings(BaseModel):
     #: weight quantization: "none" | "int8" (per-output-channel symmetric,
     #: dequant fused into the matmuls — the TPU analog of the reference's
     #: CTranslate2 int8_float16 compute type, main.py:281-292 / QUANT env
-    #: in utils.sh:70) | "int4" (int8 everywhere + nibble-packed
-    #: group-scaled int4 on the fused decode-step weight stream — ~25%
-    #: faster decode at a small weight-rounding cost; weight-only RTN)
+    #: in utils.sh:70). An int4 decode weight stream was built and
+    #: measured perf-NEUTRAL in round 2 (the in-kernel nibble unpack's
+    #: VPU cost cancels the halved DMA at small beam batches) and was
+    #: removed in round 3; "int4" now aliases "int8" (the RTN int4
+    #: quantizer itself remains in ops/quant.py). See BENCH.md §int4.
     quant: str = "int8"
     #: static HBM budget per chip in bytes (v5e = 16 GiB); residency
     #: decisions are computed against this instead of runtime VRAM probes
@@ -131,6 +133,12 @@ class APISettings(BaseModel):
     #: uses the first bucket
     decode_token_buckets: List[str] = ["96", "224"]
     short_audio_threshold_ms: int = 12000
+    #: audio-length compile buckets (seconds): a request transfers only
+    #: bucket-many int16 samples and the program zero-pads to the 30 s
+    #: window ON DEVICE — through a network TPU tunnel each shipped
+    #: megabyte costs ~10 ms, so short utterances must not pay the full
+    #: padded window (BENCH.md r3)
+    audio_second_buckets: List[str] = ["4", "8", "16", "30"]
     #: directory holding converted model weights (<size>/ with params.npz
     #: or HF safetensors); missing weights fall back to seeded random init
     model_dir: str = "models"
@@ -163,6 +171,9 @@ class APISettings(BaseModel):
 
     def batch_bucket_list(self) -> List[int]:
         return sorted(int(b) for b in self.batch_buckets)
+
+    def audio_second_bucket_list(self) -> List[int]:
+        return sorted(int(b) for b in self.audio_second_buckets)
 
 
 def _load_dotenv(path: str = ".env") -> dict:
