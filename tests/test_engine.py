@@ -159,3 +159,30 @@ def test_fused_decode_engine_path():
     assert isinstance(res.text, str)
     assert res.audio_duration_ms == 1000
     assert any(k[8] is True for k in eng._programs)  # fused program compiled
+
+
+def test_int16_audio_accepted_natively(engine):
+    """int16 PCM in == float32 PCM out, bit-identically: the device
+    program consumes int16, so feeding the integer samples directly
+    (FLAC/WAV/s16 WS frames) must produce exactly the tokens the
+    float path produces for the same underlying samples."""
+    rng = np.random.default_rng(21)
+    i16 = (rng.standard_normal(int(1.5 * SAMPLE_RATE)) * 0.05 * 32767).astype(
+        np.int16
+    )
+    f32 = i16.astype(np.float32) / 32768.0
+    res_i = engine.transcribe(i16, model="tiny", beam_size=1)
+    res_f = engine.transcribe(f32, model="tiny", beam_size=1)
+    assert res_i.text == res_f.text
+    assert res_i.audio_duration_ms == res_f.audio_duration_ms == 1500
+
+
+def test_int16_audio_chunked(engine):
+    rng = np.random.default_rng(22)
+    i16 = (rng.standard_normal(40 * SAMPLE_RATE) * 0.05 * 32767).astype(
+        np.int16
+    )
+    f32 = i16.astype(np.float32) / 32768.0
+    res_i = engine.transcribe(i16, model="tiny", beam_size=1)
+    res_f = engine.transcribe(f32, model="tiny", beam_size=1)
+    assert res_i.text == res_f.text

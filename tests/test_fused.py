@@ -159,3 +159,40 @@ def test_detect_mask_protects_forced_rows(params):
     )
     tokens_ref, *_ = unpack_asr_result(packed_ref, BEAM, MAX_NEW)
     np.testing.assert_array_equal(tokens[1], tokens_ref[1])
+
+
+def test_chunked_program_matches_host_windows(params):
+    """chunked=True extracts the 22 s / 14 s-step windows ON DEVICE from
+    one contiguous segment; output must be bit-identical to the plain
+    program fed the same windows extracted on the host (chunk_iter +
+    pad_or_trim semantics, engine long-form path)."""
+    from wis_tpu.audio.chunking import CHUNK_LEN, STRIDE_LEFT, STRIDE_RIGHT
+    from wis_tpu.audio.mel import N_SAMPLES
+
+    batch = 3
+    step = CHUNK_LEN - STRIDE_LEFT - STRIDE_RIGHT
+    n_samp = (batch - 1) * step + CHUNK_LEN
+    rng = np.random.default_rng(11)
+    long_audio = (rng.standard_normal(n_samp) * 0.05 * 32767).astype(np.int16)
+
+    chunked = build_asr_program(
+        CFG, beam_size=BEAM, batch=batch, max_new_tokens=MAX_NEW,
+        prompt_len=4, suppress_tokens=(), begin_suppress_tokens=(),
+        chunked=True, n_samples=n_samp,
+    )
+    packed_c = np.asarray(
+        chunked(params, jnp.asarray(long_audio), _ctl(_prompts(batch), MAX_NEW))
+    )
+
+    windows = np.zeros((batch, N_SAMPLES), np.int16)
+    for w in range(batch):
+        seg = long_audio[w * step : w * step + CHUNK_LEN]
+        windows[w, : seg.shape[0]] = seg
+    plain = build_asr_program(
+        CFG, beam_size=BEAM, batch=batch, max_new_tokens=MAX_NEW,
+        prompt_len=4, suppress_tokens=(), begin_suppress_tokens=(),
+    )
+    packed_h = np.asarray(
+        plain(params, jnp.asarray(windows), _ctl(_prompts(batch), MAX_NEW))
+    )
+    np.testing.assert_array_equal(packed_c, packed_h)

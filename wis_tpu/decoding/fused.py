@@ -51,10 +51,21 @@ def build_asr_program(
     with_timestamps: bool = False,
     fused_step: bool = False,
     n_samples: int = N_SAMPLES,
+    chunked: bool = False,
 ):
     """Return jitted asr(params, audio_i16 (B, n_samples), ctl (B, P+2))
     → packed int32 (B, W) with W = K*max_new + K + 3, doubled
     (transcribe ++ translate halves) when translate=True.
+
+    chunked=True — the long-form variant: audio_i16 is ONE (n_samples,)
+    contiguous segment and the 22 s / 4 s-stride windows are extracted
+    ON DEVICE (static slice starts at multiples of the 14 s step, each
+    zero-padded to the 30 s mel window — bit-identical to the host
+    chunk_iter + pad_or_trim). A 3-minute transcription becomes one
+    transfer of the raw samples and one dispatch, instead of shipping
+    every overlapping window (~2× the bytes) across one dispatch per
+    window group (reference main.py:614-631 loops chunks through the
+    GPU in concurrent_gpu_chunks groups).
 
     The host↔device boundary is TWO transfers, sized to the content:
 
@@ -96,9 +107,26 @@ def build_asr_program(
         prompt = ctl[:, :prompt_len]
         detect_mask = ctl[:, prompt_len]
         token_cap = ctl[0, prompt_len + 1]
-        audio = audio_i16.astype(jnp.float32) / 32768.0
-        if n_samples < N_SAMPLES:
-            audio = jnp.pad(audio, ((0, 0), (0, N_SAMPLES - n_samples)))
+        if chunked:
+            from wis_tpu.audio.chunking import (
+                CHUNK_LEN,
+                STRIDE_LEFT,
+                STRIDE_RIGHT,
+            )
+
+            step = CHUNK_LEN - STRIDE_LEFT - STRIDE_RIGHT
+            long_audio = audio_i16.astype(jnp.float32) / 32768.0
+            audio = jnp.stack(
+                [
+                    jax.lax.dynamic_slice(long_audio, (w * step,), (CHUNK_LEN,))
+                    for w in range(batch)
+                ]
+            )
+            audio = jnp.pad(audio, ((0, 0), (0, N_SAMPLES - CHUNK_LEN)))
+        else:
+            audio = audio_i16.astype(jnp.float32) / 32768.0
+            if n_samples < N_SAMPLES:
+                audio = jnp.pad(audio, ((0, 0), (0, N_SAMPLES - n_samples)))
         mel = _log_mel_jax(audio, n_mels=cfg.n_mels)  # (B, 80, 3000)
         xa = encode(params, mel, cfg)
         xa_kv = cross_kv(params, xa, cfg)

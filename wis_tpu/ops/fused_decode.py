@@ -150,6 +150,34 @@ def _ln(x32, g, b):
     return (x32 - mean) * jax.lax.rsqrt(var + 1e-5) * g + b
 
 
+def fused_step_vmem_bytes(
+    cfg: WhisperConfig, bk: int, t_cache: int, n_seq: int = 1,
+    s_audio: int = 1500,
+) -> int:
+    """Estimate of the kernel's scoped-VMEM footprint (mirrors the
+    scratch_shapes list in build_fused_decode_step plus the weight/LN
+    input blocks). The engine gates the fused path on this — wide
+    coalesced batches (block-diagonal cross-KV spans n_seq × s_pad
+    columns) overflow the ~16 MB scoped limit and must fall back to the
+    XLA decode path."""
+    D = cfg.n_text_state
+    H = cfg.n_text_head
+    Dh = D // H
+    F = 4 * D
+    BKT = bk * t_cache
+    s_pad = ((s_audio + 127) // 128) * 128
+    SX = n_seq * s_pad
+    g_x = _pick_groups(H, Dh * SX, 1 << 20)
+    xa_buf = 2 * 2 * g_x * Dh * SX * 2
+    cache_budget = (1 << 20) if xa_buf <= (6 << 20) else (1 << 19)
+    g_c = _pick_groups(H, Dh * BKT, cache_budget)
+    cache_buf = 2 * 2 * g_c * Dh * BKT * 2
+    acts = bk * (3 * D + 4 * D) * 4 + bk * (D + F) * 2 + bk * BKT * 4
+    wbuf = 2 * D * D  # int8 double buffer
+    w_blocks = NC * D * 4 * 2 + 6 * D * 4  # scales/bias/ln VMEM inputs
+    return xa_buf + cache_buf + acts + wbuf + w_blocks + (1 << 20)
+
+
 def build_fused_decode_step(
     cfg: WhisperConfig,
     *,
@@ -208,9 +236,14 @@ def build_fused_decode_step(
     scale = Dh**-0.5
 
     # head-group sizes: keep each slice ≤ ~1 MB so 2-slot double buffers
-    # for K,V (cache) and K,V (cross) fit well under the ~15 MB VMEM
-    g_c = _pick_groups(H, Dh * BKT, 1 << 20)
+    # for K,V (cache) and K,V (cross) fit well under the ~15 MB VMEM;
+    # when the block-diagonal cross-KV is wide (big coalesced n_seq) its
+    # single-head slices alone eat most of VMEM — shrink the cache
+    # budget to compensate
     g_x = _pick_groups(H, Dh * SX, 1 << 20)
+    xa_buf_bytes = 2 * 2 * g_x * Dh * SX * 2
+    cache_budget = (1 << 20) if xa_buf_bytes <= (6 << 20) else (1 << 19)
+    g_c = _pick_groups(H, Dh * BKT, cache_budget)
     ng_c = H // g_c
     ng_x = H // g_x
 

@@ -106,19 +106,34 @@ class WhisperEngine:
     # ------------------------------------------------------------------ #
     # Program cache
     # ------------------------------------------------------------------ #
-    def _use_fused(self, batch: int, beam: int = 1) -> bool:
+    def _use_fused(self, batch: int, beam: int = 1,
+                   model: Optional[LoadedModel] = None,
+                   max_new: int = 0, prompt_len: int = 0) -> bool:
         """Single-kernel Pallas decode step (ops/fused_decode): "auto"
         enables it on TPU (batch > 1 runs the block-diagonal cross-attn
         variant); "on" forces it anywhere (CPU runs in interpret mode —
-        used by tests); "off" disables. Beams above 7 fall back to the
-        XLA path: the fused logits head extracts beam+1 candidates per
-        vocab chunk and its candidate tile holds 8 (ops/fused_logits
-        KPAD)."""
+        used by tests); "off" disables. Fallbacks to the XLA path:
+        beams above 7 (the fused logits head extracts beam+1 candidates
+        per vocab chunk into an 8-slot tile, ops/fused_logits KPAD) and
+        configurations whose kernel scratch would overflow the ~16 MB
+        scoped VMEM (wide coalesced batches — the block-diagonal
+        cross-KV spans batch × 1536 columns)."""
         if beam + 1 > 8 and beam != 1:
             return False
         mode = getattr(self.settings, "fused_decode", "auto")
         if mode == "off":
             return False
+        if model is not None and max_new:
+            from wis_tpu.ops.fused_decode import fused_step_vmem_bytes
+
+            bk = batch * beam
+            t_cache = prompt_len + max_new
+            t_cache = ((t_cache + 127) // 128) * 128
+            if fused_step_vmem_bytes(
+                model.cfg, bk, t_cache, n_seq=batch,
+                s_audio=model.cfg.n_audio_ctx,
+            ) > (15 << 20):
+                return False
         if mode == "on":
             return True
         import jax
@@ -128,16 +143,17 @@ class WhisperEngine:
     def _program(self, model: LoadedModel, *, beam: int, batch: int,
                  prompt_len: int, detect: bool, translate: bool,
                  timestamps: bool = False, max_new: Optional[int] = None,
-                 n_samples: Optional[int] = None):
+                 n_samples: Optional[int] = None, chunked: bool = False):
         """Returns (program, fused): fused programs take a PackedDecoder
         right after params."""
         from wis_tpu.audio.mel import N_SAMPLES
 
         max_new = max_new or self.settings.max_decode_tokens
         n_samples = n_samples or N_SAMPLES
-        fused = self._use_fused(batch, beam)
+        fused = self._use_fused(batch, beam, model=model, max_new=max_new,
+                                prompt_len=prompt_len)
         key = (model.name, beam, batch, prompt_len, detect, translate,
-               timestamps, max_new, fused, n_samples)
+               timestamps, max_new, fused, n_samples, chunked)
         prog = self._programs.get(key)
         if prog is not None:
             return prog, fused
@@ -159,6 +175,7 @@ class WhisperEngine:
                 with_timestamps=timestamps,
                 fused_step=fused,
                 n_samples=n_samples,
+                chunked=chunked,
             )
             self._programs[key] = prog
             return prog, fused
@@ -256,6 +273,8 @@ class WhisperEngine:
         max_new: Optional[int] = None,
         detect_mask: Optional[np.ndarray] = None,
         content_samples: Optional[int] = None,
+        long_audio: Optional[np.ndarray] = None,
+        n_windows: Optional[int] = None,
     ):
         """Returns per-window dicts {tokens, length, lang_idx, lang_prob,
         tr_tokens, tr_length}.
@@ -265,14 +284,25 @@ class WhisperEngine:
         (reference main.py:633-644). True: every window is an independent
         request (coalesced batch) — each detects for itself."""
         s = self.settings
-        n = windows_i16.shape[0]
+        chunked = long_audio is not None
+        n = n_windows if chunked else windows_i16.shape[0]
         bucket = self._bucket(min(n, max(1, s.concurrent_gpu_chunks)))
-        n_samp = self._sample_bucket(
-            content_samples
-            if content_samples is not None
-            else windows_i16.shape[1]
-        )
-        windows_i16 = windows_i16[:, :n_samp]
+        if chunked:
+            from wis_tpu.audio.chunking import (
+                CHUNK_LEN,
+                STRIDE_LEFT,
+                STRIDE_RIGHT,
+            )
+
+            chunk_step = CHUNK_LEN - STRIDE_LEFT - STRIDE_RIGHT
+            n_samp = (bucket - 1) * chunk_step + CHUNK_LEN
+        else:
+            n_samp = self._sample_bucket(
+                content_samples
+                if content_samples is not None
+                else windows_i16.shape[1]
+            )
+            windows_i16 = windows_i16[:, :n_samp]
         max_new = max_new or s.max_decode_tokens
         width = packed_width(beam, max_new)
         if detect_mask is None:
@@ -281,18 +311,29 @@ class WhisperEngine:
         resolved_lang_tok: Optional[int] = None
 
         for start in range(0, n, bucket):
-            g_audio = windows_i16[start : start + bucket]
             g_prompts = prompts[start : start + bucket].copy()
             g_mask = detect_mask[start : start + bucket].astype(np.int32)
-            pad = bucket - g_audio.shape[0]
+            pad = bucket - g_prompts.shape[0]
             if pad:
-                g_audio = np.concatenate(
-                    [g_audio, np.zeros((pad, g_audio.shape[1]), np.int16)]
-                )
                 g_prompts = np.concatenate(
                     [g_prompts, np.tile(g_prompts[-1:], (pad, 1))]
                 )
                 g_mask = np.concatenate([g_mask, np.zeros(pad, np.int32)])
+            if chunked:
+                seg = long_audio[start * chunk_step:
+                                 start * chunk_step + n_samp]
+                if seg.shape[0] < n_samp:
+                    seg = np.concatenate(
+                        [seg, np.zeros(n_samp - seg.shape[0], np.int16)]
+                    )
+                g_audio = seg
+            else:
+                g_audio = windows_i16[start : start + bucket]
+                if pad:
+                    g_audio = np.concatenate(
+                        [g_audio,
+                         np.zeros((pad, g_audio.shape[1]), np.int16)]
+                    )
             # only the first group of a chunked request detects; later
             # groups reuse the resolved language (reference main.py:633-644)
             g_detect = detect and (per_window_detect or start == 0)
@@ -308,15 +349,26 @@ class WhisperEngine:
                 timestamps=timestamps,
                 max_new=max_new,
                 n_samples=n_samp,
+                chunked=chunked,
             )
             args = [loaded.params]
             if prog_fused:
                 args.append(self._packed_decoder(loaded))
             ctl = pack_ctl(g_prompts, g_mask, token_cap)
             with timer.span("asr_dispatch", trace=True):
-                packed = np.asarray(
-                    prog(*args, jnp.asarray(g_audio), jnp.asarray(ctl))
-                )
+                d_audio = jnp.asarray(g_audio)
+                d_ctl = jnp.asarray(ctl)
+                d_out = prog(*args, d_audio, d_ctl)
+                packed = np.asarray(d_out)
+                # free the per-request remote buffers NOW: left to GC,
+                # their deletion RPCs land mid-way through the NEXT
+                # request and stall the host for ~0.7-1.3 s through the
+                # device tunnel (measured; BENCH.md round 3 long-form)
+                for buf in (d_out, d_audio, d_ctl):
+                    try:
+                        buf.delete()
+                    except Exception:
+                        pass
             main = unpack_asr_result(packed[:, :width], beam, max_new)
             tr = (
                 unpack_asr_result(packed[:, width:], beam, max_new)
@@ -359,8 +411,13 @@ class WhisperEngine:
         timestamps: bool = False,
         word_timestamps: bool = False,
     ) -> TranscriptionResult:
-        """audio: 1-D float32 PCM at 16 kHz (decode/resample happens in
-        wis_tpu.audio.ingest, off the device path).
+        """audio: 1-D PCM at 16 kHz — float32, or int16 (accepted
+        natively: the device program consumes int16, so integer-PCM
+        sources like FLAC/WAV/s16 WebSocket frames skip the
+        float→int16 round-trip entirely; on this single-core host the
+        extra numpy passes over minutes of audio are measurable wall
+        time). Decode/resample happens in wis_tpu.audio.ingest, off the
+        device path.
 
         timestamps=True decodes with whisper's timestamp grammar and
         returns `segments` ({start, end, text}); supported for
@@ -379,7 +436,9 @@ class WhisperEngine:
         loaded = self.registry.get(model_name)
         tok = loaded.tokenizer
 
-        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+        audio = np.asarray(audio).reshape(-1)
+        if audio.dtype != np.int16:
+            audio = audio.astype(np.float32, copy=False)
         duration_ms = int(audio.shape[0] / SAMPLE_RATE * 1000)
 
         # long-mode beam override (reference main.py:582-586 — note it
@@ -393,15 +452,22 @@ class WhisperEngine:
         # ---- windows ---- #
         with timer.span("features"):
             strides: List[Stride] = []
+            long_audio = None
             if use_chunking:
-                chunks = []
-                for chunk, stride in chunk_iter(audio):
-                    chunks.append(pad_or_trim(chunk))
+                # windows are extracted ON DEVICE from one contiguous
+                # segment (decoding/fused.py chunked=True) — only the
+                # stride metadata for the LCS merge is computed here
+                for _chunk, stride in chunk_iter(audio):
                     strides.append(stride)
-                windows = _to_i16(np.stack(chunks))
+                long_audio = (
+                    audio if audio.dtype == np.int16 else _to_i16(audio)
+                )
+                windows = None
+                n = len(strides)
             else:
-                windows = _to_i16(pad_or_trim(audio))[None]
-        n = windows.shape[0]
+                w = pad_or_trim(audio)
+                windows = (w if w.dtype == np.int16 else _to_i16(w))[None]
+                n = 1
 
         # ---- language + prompts ---- #
         language = s.language
@@ -432,6 +498,8 @@ class WhisperEngine:
                 timestamps=use_ts,
                 max_new=decode_bucket,
                 content_samples=(None if use_chunking else audio.shape[0]),
+                long_audio=long_audio,
+                n_windows=n,
             )
 
         # ---- merge + text decode ---- #
@@ -557,7 +625,14 @@ class WhisperEngine:
 
         durations = [int(r.audio.shape[0] / SAMPLE_RATE * 1000) for r in requests]
         with timer.span("features"):
-            windows = _to_i16(np.stack([pad_or_trim(r.audio) for r in requests]))
+            windows = np.stack(
+                [
+                    pad_or_trim(r.audio)
+                    if r.audio.dtype == np.int16
+                    else _to_i16(pad_or_trim(r.audio))
+                    for r in requests
+                ]
+            )
         n = windows.shape[0]
 
         # any request needing detection compiles the detect variant; a

@@ -79,6 +79,18 @@ class StreamingSession:
     def feed_pcm(self, data: bytes) -> None:
         if not self.recording:
             return
+        if (
+            self._bits == 16
+            and self._channels == 1
+            and self._sample_rate == SAMPLE_RATE
+            and self._vad is None
+        ):
+            # hot streaming case (mono s16le at 16 kHz, no VAD): keep
+            # the frames int16 end-to-end — the engine accepts integer
+            # PCM natively and the device program consumes int16, so
+            # the float round-trip is pure host CPU waste
+            self._chunks.append(np.frombuffer(data, dtype="<i2"))
+            return
         pcm = codecs.pcm_to_float(data, self._bits)
         if self._channels > 1:
             pcm = codecs.mix_to_mono(pcm.reshape(-1, self._channels))
