@@ -1,0 +1,417 @@
+"""XTTS text preprocessing (the cleaner stage in front of the BPE).
+
+The reference's TTS server delegates tokenization to Coqui-TTS, whose
+VoiceBpeTokenizer runs `preprocess_text` before BPE encoding
+(reference xtts/main.py:147-156 calls model.inference_stream, which
+tokenizes internally): quotes stripped, lowercase, numbers expanded to
+words, abbreviations expanded, symbols spoken, whitespace collapsed.
+Skipping that stage feeds digit/symbol characters to a model that was
+trained almost entirely on cleaned text — real checkpoints mispronounce
+or drop them. This module re-implements the contract from scratch:
+
+- number → words: full cardinal/ordinal/decimal/currency support for
+  en, es, fr, de (written from the standard grammar of each language,
+  not ported); other languages pass digits through unchanged (the BPE
+  still encodes them — degraded, never wrong-language words).
+- abbreviation and symbol tables for en/es/fr/de.
+- Turkish dotted-İ lowering, quote stripping, whitespace collapse for
+  every language.
+
+`preprocess_text(text, lang)` is the only public entry point.
+"""
+
+from __future__ import annotations
+
+import re
+
+# --------------------------------------------------------------------------- #
+# English numbers
+# --------------------------------------------------------------------------- #
+
+_EN_UNITS = [
+    "zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
+    "nine", "ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+    "sixteen", "seventeen", "eighteen", "nineteen",
+]
+_EN_TENS = [
+    "", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+    "eighty", "ninety",
+]
+_EN_SCALES = [(10 ** 9, "billion"), (10 ** 6, "million"), (1000, "thousand")]
+
+_EN_ORD_IRREGULAR = {
+    "one": "first", "two": "second", "three": "third", "five": "fifth",
+    "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
+}
+
+
+def _en_under_1000(n: int) -> str:
+    parts = []
+    if n >= 100:
+        parts.append(_EN_UNITS[n // 100] + " hundred")
+        n %= 100
+    if n >= 20:
+        t = _EN_TENS[n // 10]
+        parts.append(t + ("-" + _EN_UNITS[n % 10] if n % 10 else ""))
+    elif n > 0 or not parts:
+        parts.append(_EN_UNITS[n])
+    return " ".join(parts)
+
+
+def num_en(n: int) -> str:
+    if n < 0:
+        return "minus " + num_en(-n)
+    if n == 0:
+        return "zero"
+    parts = []
+    for scale, name in _EN_SCALES:
+        if n >= scale:
+            parts.append(_en_under_1000(n // scale) + " " + name)
+            n %= scale
+    if n:
+        parts.append(_en_under_1000(n))
+    return " ".join(parts)
+
+
+def ord_en(n: int) -> str:
+    words = num_en(n)
+    head, _, last = words.rpartition(" ")
+    if "-" in last:
+        tens, _, unit = last.rpartition("-")
+        last = tens + "-" + _EN_ORD_IRREGULAR.get(unit, unit + "th")
+    elif last in _EN_ORD_IRREGULAR:
+        last = _EN_ORD_IRREGULAR[last]
+    elif last.endswith("y"):
+        last = last[:-1] + "ieth"
+    elif last.endswith("t"):  # eight handled above; hundred/thousand end 'd'
+        last = last + "h"
+    else:
+        last = last + "th"
+    return (head + " " + last).strip()
+
+
+# --------------------------------------------------------------------------- #
+# Spanish numbers
+# --------------------------------------------------------------------------- #
+
+_ES_UNITS = [
+    "cero", "uno", "dos", "tres", "cuatro", "cinco", "seis", "siete", "ocho",
+    "nueve", "diez", "once", "doce", "trece", "catorce", "quince",
+    "dieciséis", "diecisiete", "dieciocho", "diecinueve", "veinte",
+    "veintiuno", "veintidós", "veintitrés", "veinticuatro", "veinticinco",
+    "veintiséis", "veintisiete", "veintiocho", "veintinueve",
+]
+_ES_TENS = [
+    "", "", "", "treinta", "cuarenta", "cincuenta", "sesenta", "setenta",
+    "ochenta", "noventa",
+]
+_ES_HUNDREDS = [
+    "", "ciento", "doscientos", "trescientos", "cuatrocientos",
+    "quinientos", "seiscientos", "setecientos", "ochocientos",
+    "novecientos",
+]
+
+
+def _es_under_1000(n: int) -> str:
+    if n == 100:
+        return "cien"
+    parts = []
+    if n >= 100:
+        parts.append(_ES_HUNDREDS[n // 100])
+        n %= 100
+    if n >= 30:
+        t = _ES_TENS[n // 10]
+        parts.append(t + (" y " + _ES_UNITS[n % 10] if n % 10 else ""))
+    elif n > 0 or not parts:
+        parts.append(_ES_UNITS[n])
+    return " ".join(p for p in parts if p)
+
+
+def num_es(n: int) -> str:
+    if n < 0:
+        return "menos " + num_es(-n)
+    if n == 0:
+        return "cero"
+    parts = []
+    if n >= 10 ** 6:
+        m = n // 10 ** 6
+        parts.append("un millón" if m == 1 else num_es(m) + " millones")
+        n %= 10 ** 6
+    if n >= 1000:
+        k = n // 1000
+        parts.append("mil" if k == 1 else _es_under_1000(k) + " mil")
+        n %= 1000
+    if n:
+        parts.append(_es_under_1000(n))
+    return " ".join(parts)
+
+
+# --------------------------------------------------------------------------- #
+# French numbers
+# --------------------------------------------------------------------------- #
+
+_FR_UNITS = [
+    "zéro", "un", "deux", "trois", "quatre", "cinq", "six", "sept", "huit",
+    "neuf", "dix", "onze", "douze", "treize", "quatorze", "quinze", "seize",
+    "dix-sept", "dix-huit", "dix-neuf",
+]
+_FR_TENS = {20: "vingt", 30: "trente", 40: "quarante", 50: "cinquante",
+            60: "soixante", 80: "quatre-vingt"}
+
+
+def _fr_under_100(n: int) -> str:
+    if n < 20:
+        return _FR_UNITS[n]
+    if n < 70:
+        t, u = (n // 10) * 10, n % 10
+        if u == 0:
+            return _FR_TENS[t]
+        if u == 1:
+            return _FR_TENS[t] + " et un"
+        return _FR_TENS[t] + "-" + _FR_UNITS[u]
+    if n < 80:  # soixante-dix .. soixante-dix-neuf
+        if n == 71:
+            return "soixante et onze"
+        return "soixante-" + _FR_UNITS[n - 60]
+    # 80-99: quatre-vingt(s) + 0..19
+    u = n - 80
+    if u == 0:
+        return "quatre-vingts"
+    return "quatre-vingt-" + _FR_UNITS[u]
+
+
+def _fr_under_1000(n: int) -> str:
+    parts = []
+    if n >= 100:
+        h = n // 100
+        if h == 1:
+            parts.append("cent")
+        else:
+            parts.append(_FR_UNITS[h] + " cent" + ("s" if n % 100 == 0 else ""))
+        n %= 100
+    if n or not parts:
+        parts.append(_fr_under_100(n))
+    return " ".join(parts)
+
+
+def num_fr(n: int) -> str:
+    if n < 0:
+        return "moins " + num_fr(-n)
+    if n == 0:
+        return "zéro"
+    parts = []
+    if n >= 10 ** 6:
+        m = n // 10 ** 6
+        parts.append(("un million" if m == 1 else num_fr(m) + " millions"))
+        n %= 10 ** 6
+    if n >= 1000:
+        k = n // 1000
+        parts.append("mille" if k == 1 else _fr_under_1000(k) + " mille")
+        n %= 1000
+    if n:
+        parts.append(_fr_under_1000(n))
+    return " ".join(parts)
+
+
+# --------------------------------------------------------------------------- #
+# German numbers
+# --------------------------------------------------------------------------- #
+
+_DE_UNITS = [
+    "null", "eins", "zwei", "drei", "vier", "fünf", "sechs", "sieben",
+    "acht", "neun", "zehn", "elf", "zwölf", "dreizehn", "vierzehn",
+    "fünfzehn", "sechzehn", "siebzehn", "achtzehn", "neunzehn",
+]
+_DE_TENS = [
+    "", "", "zwanzig", "dreißig", "vierzig", "fünfzig", "sechzig",
+    "siebzig", "achtzig", "neunzig",
+]
+
+
+def _de_unit_prefix(u: int) -> str:
+    # "ein" (not "eins") when compounded: einundzwanzig, einhundert
+    return "ein" if u == 1 else _DE_UNITS[u]
+
+
+def _de_under_1000(n: int) -> str:
+    parts = ""
+    if n >= 100:
+        parts += _de_unit_prefix(n // 100) + "hundert"
+        n %= 100
+    if n >= 20:
+        u = n % 10
+        if u:
+            parts += _de_unit_prefix(u) + "und"
+        parts += _DE_TENS[n // 10]
+    elif n > 0:
+        parts += _DE_UNITS[n] if parts == "" else (
+            "eins" if n == 1 else _DE_UNITS[n]
+        )
+    return parts or _DE_UNITS[0]
+
+
+def num_de(n: int) -> str:
+    if n < 0:
+        return "minus " + num_de(-n)
+    if n == 0:
+        return "null"
+    parts = ""
+    if n >= 10 ** 6:
+        m = n // 10 ** 6
+        parts += ("eine Million " if m == 1 else num_de(m) + " Millionen ")
+        n %= 10 ** 6
+    if n >= 1000:
+        k = n // 1000
+        parts += ("eintausend" if k == 1 else _de_under_1000(k) + "tausend")
+        n %= 1000
+    if n:
+        parts += _de_under_1000(n)
+    return parts.strip().lower()
+
+
+_NUM_FN = {"en": num_en, "es": num_es, "fr": num_fr, "de": num_de}
+
+# --------------------------------------------------------------------------- #
+# Currency / decimal vocabulary per language
+# --------------------------------------------------------------------------- #
+
+_CURRENCY = {
+    "en": {"$": ("dollar", "dollars", "cent", "cents"),
+           "£": ("pound", "pounds", "penny", "pence"),
+           "€": ("euro", "euros", "cent", "cents")},
+    "es": {"$": ("dólar", "dólares", "centavo", "centavos"),
+           "£": ("libra", "libras", "penique", "peniques"),
+           "€": ("euro", "euros", "céntimo", "céntimos")},
+    "fr": {"$": ("dollar", "dollars", "centime", "centimes"),
+           "£": ("livre", "livres", "penny", "pence"),
+           "€": ("euro", "euros", "centime", "centimes")},
+    "de": {"$": ("dollar", "dollar", "cent", "cent"),
+           "£": ("pfund", "pfund", "penny", "pence"),
+           "€": ("euro", "euro", "cent", "cent")},
+}
+_DECIMAL_POINT = {"en": "point", "es": "coma", "fr": "virgule", "de": "komma"}
+_AND_WORD = {"en": "and", "es": "con", "fr": "et", "de": "und"}
+
+# --------------------------------------------------------------------------- #
+# Abbreviations (dot-terminated) and spoken symbols
+# --------------------------------------------------------------------------- #
+
+_ABBREV = {
+    "en": {
+        "mrs": "misses", "mr": "mister", "dr": "doctor", "st": "saint",
+        "co": "company", "jr": "junior", "ltd": "limited", "col": "colonel",
+        "gen": "general", "rev": "reverend", "hon": "honorable",
+        "sgt": "sergeant", "capt": "captain", "maj": "major",
+        "lt": "lieutenant", "esq": "esquire", "ft": "fort", "etc": "et cetera",
+    },
+    "es": {
+        "sra": "señora", "sr": "señor", "dr": "doctor", "dra": "doctora",
+        "srta": "señorita", "av": "avenida", "ud": "usted", "uds": "ustedes",
+    },
+    "fr": {
+        "mme": "madame", "mr": "monsieur", "m": "monsieur", "mlle":
+        "mademoiselle", "dr": "docteur", "st": "saint", "av": "avenue",
+        "etc": "et cetera",
+    },
+    "de": {
+        "dr": "doktor", "st": "sankt", "nr": "nummer", "str": "straße",
+        "prof": "professor", "usw": "und so weiter", "bzw":
+        "beziehungsweise", "z.b": "zum beispiel",
+    },
+}
+
+_SYMBOLS = {
+    "en": {"&": " and ", "@": " at ", "%": " percent ", "#": " hash ",
+           "°": " degrees "},
+    "es": {"&": " y ", "@": " arroba ", "%": " por ciento ", "#":
+           " numeral ", "°": " grados "},
+    "fr": {"&": " et ", "@": " arobase ", "%": " pour cent ", "#":
+           " dièse ", "°": " degrés "},
+    "de": {"&": " und ", "@": " at ", "%": " prozent ", "#": " raute ",
+           "°": " grad "},
+}
+
+_WHITESPACE_RE = re.compile(r"\s+")
+_NUMBER_RE = re.compile(r"\d+")
+_COMMA_GROUP_RE = re.compile(r"(\d),(\d\d\d)(?!\d)")
+_DECIMAL_RE = re.compile(r"(\d+)\.(\d+)")
+_ORDINAL_EN_RE = re.compile(r"\b(\d+)(st|nd|rd|th)\b")
+_CURRENCY_RE = re.compile(r"([$£€])(\d+(?:\.\d+)?)")
+
+
+def _expand_currency(m: re.Match, lang: str) -> str:
+    sym, amount = m.group(1), m.group(2)
+    unit_s, unit_p, cent_s, cent_p = _CURRENCY[lang][sym]
+    num = _NUM_FN[lang]
+    if "." in amount:
+        whole_s, frac_s = amount.split(".")
+        whole, cents = int(whole_s or 0), int(frac_s[:2].ljust(2, "0"))
+    else:
+        whole, cents = int(amount), 0
+    parts = []
+    if whole or not cents:
+        parts.append(num(whole) + " " + (unit_s if whole == 1 else unit_p))
+    if cents:
+        parts.append(num(cents) + " " + (cent_s if cents == 1 else cent_p))
+    return (" " + _AND_WORD[lang] + " ").join(parts)
+
+
+def _expand_decimal(m: re.Match, lang: str) -> str:
+    num = _NUM_FN[lang]
+    digits = " ".join(num(int(d)) for d in m.group(2))
+    return num(int(m.group(1))) + " " + _DECIMAL_POINT[lang] + " " + digits
+
+
+def expand_numbers(text: str, lang: str) -> str:
+    """Digits → words for the covered languages; pass-through otherwise."""
+    if lang not in _NUM_FN:
+        return text
+    num = _NUM_FN[lang]
+    text = _COMMA_GROUP_RE.sub(r"\1\2", text)
+    text = _CURRENCY_RE.sub(lambda m: _expand_currency(m, lang), text)
+    if lang == "en":
+        text = _ORDINAL_EN_RE.sub(lambda m: ord_en(int(m.group(1))), text)
+    text = _DECIMAL_RE.sub(lambda m: _expand_decimal(m, lang), text)
+    text = _NUMBER_RE.sub(lambda m: num(int(m.group(0))), text)
+    return text
+
+
+def expand_abbreviations(text: str, lang: str) -> str:
+    table = _ABBREV.get(lang)
+    if not table:
+        return text
+    for abbrev, full in table.items():
+        text = re.sub(
+            r"\b" + re.escape(abbrev) + r"\.", full + " ", text,
+            flags=re.IGNORECASE,
+        )
+    return text
+
+
+def expand_symbols(text: str, lang: str) -> str:
+    table = _SYMBOLS.get(lang)
+    if not table:
+        return text
+    for sym, spoken in table.items():
+        text = text.replace(sym, spoken)
+    return text
+
+
+def preprocess_text(text: str, lang: str) -> str:
+    """The full cleaner: quote strip → lowercase → numbers →
+    abbreviations → symbols → whitespace collapse.
+
+    `lang` is the XTTS language code ("zh-cn" normalizes to "zh" for
+    table lookup). Languages without tables degrade gracefully — only
+    the language-independent steps apply.
+    """
+    lang = lang.split("-")[0]
+    text = text.replace('"', "")
+    if lang == "tr":
+        text = text.replace("İ", "i").replace("Ö", "ö").replace("Ü", "ü")
+    text = text.lower()
+    text = expand_numbers(text, lang)
+    text = expand_abbreviations(text, lang)
+    text = expand_symbols(text, lang)
+    text = _WHITESPACE_RE.sub(" ", text).strip()
+    return text
