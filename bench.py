@@ -237,7 +237,15 @@ def _tts_row() -> None:
     at stream_chunk_size 20 (reference xtts/main.py:201-211 streams the
     same chunk size). Random weights — latency is weight-independent;
     the reference publishes no TTS RTF, so vs_baseline is measured
-    against the 1.0 realtime bar."""
+    against the 1.0 realtime bar.
+
+    min_audio_tokens pins a realistic utterance length the way the ASR
+    rows pin token budgets: random weights sample the stop token almost
+    immediately, which would leave the measurement dominated by prefill
+    + first-chunk fixed costs. The fixture sentence (~95 chars ≈ 6 s of
+    speech at XTTS's 1024-samples/24 kHz per token ≈ 140 tokens) decodes
+    the same number of chunks a real checkpoint would speak; with real
+    weights the default floor of 0 leaves behavior untouched."""
     import statistics as stats
     import time
 
@@ -262,6 +270,7 @@ def _tts_row() -> None:
         audio_s = 0.0
         for chunk in model.inference_stream(
             sentence, "en", latent, speaker, stream_chunk_size=20, seed=1,
+            min_audio_tokens=140,
         ):
             if ttfb is None:
                 ttfb = (time.perf_counter() - t0) * 1000
@@ -288,6 +297,7 @@ def _tts_row() -> None:
                 "baseline": "1.0 realtime streaming bar (no published ref RTF)",
                 "ttfb_p50_ms": round(stats.median(ttfbs), 1) if ttfbs else None,
                 "stream_chunk_size": 20,
+                "min_audio_tokens": 140,
                 "all_rtf": [round(r, 3) for r in rtfs],
             }
         ),

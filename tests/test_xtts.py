@@ -84,6 +84,37 @@ def test_inference_stream_yields_audio(model):
     assert np.abs(total).max() <= 1.0  # tanh output
 
 
+def test_min_audio_tokens_floor(model):
+    """min_audio_tokens masks the stop token until the floor is reached:
+    the stream must emit at least that many tokens' worth of samples
+    (the bench protocol's analog of the ASR rows' token budgets)."""
+    voice = _voice(model)
+    lat = np.asarray(voice["gpt_cond_latent"], np.float32)
+    emb = np.asarray(voice["speaker_embedding"], np.float32)
+    up = MICRO.vocoder.total_upsample
+    floor = 24
+    kw = dict(stream_chunk_size=8, overlap_wav_len=0, do_sample=False)
+    total = model.synthesize(
+        "hi", "en", lat, emb, min_audio_tokens=floor, **kw
+    )
+    assert total.shape[0] >= floor * up
+    # floor 0 is inert: identical call without the floor is a prefix run
+    base = model.synthesize("hi", "en", lat, emb, **kw)
+    assert base.shape[0] <= total.shape[0]
+
+
+def test_tokenize_runs_cleaner_pipeline(model):
+    """tokenize() feeds the Coqui-contract cleaner output (textnorm) to
+    the BPE: a raw sentence and its hand-cleaned form encode identically,
+    and the [lang] tag rides in front."""
+    a = model.tokenize("Pay $5, Dr. Lee!", "en")
+    b = model.tokenize("pay five dollars, doctor lee!", "en")
+    assert np.array_equal(a, b)
+    assert not np.array_equal(
+        model.tokenize("hello", "en"), model.tokenize("hello", "de")
+    )
+
+
 def test_streaming_equals_chunked_emission(model):
     """Greedy decode is deterministic → same total output across runs."""
     voice = _voice(model)

@@ -192,71 +192,94 @@ def build_prefill(cfg: GPTConfig, batch: int, cond_len: int, text_len: int, max_
     return prefill
 
 
+def run_decode_chunk(
+    params,
+    last_token,  # (B,) int32; start_audio_token for the first chunk
+    cache: GPTCache,
+    history,  # (B, max_audio) int32 token history (for rep. penalty)
+    hist_len,  # () int32
+    key,
+    temperature,
+    top_k,
+    top_p,
+    repetition_penalty,
+    do_sample,
+    min_tokens=0,
+    *,
+    cfg: GPTConfig,
+    chunk: int,
+    batch: int,
+):
+    """Traceable chunked decode body: emit `chunk` audio tokens.
+
+    Returns (tokens (B, chunk), latents (B, chunk, D), cache, history,
+    hist_len, done). Latents are the final hidden states for the emitted
+    positions — the HiFi-GAN vocoder input (XTTS decodes from GPT
+    latents, not codes). Shared by `build_decode_chunk` (standalone
+    program) and the model's fused decode+vocode streaming program."""
+    dtype = params["text_emb"].dtype
+
+    def audio_embed(tok, pos):
+        e = jnp.take(params["audio_emb"], tok, axis=0)
+        return (e + jnp.take(params["audio_pos"], pos, axis=0)).astype(dtype)
+
+    def step(carry, i):
+        tok, cache, history, hist_len, key, done = carry
+        audio_pos = hist_len + 1  # +1: start token occupies audio pos 0
+        x = audio_embed(tok, audio_pos)[:, None, :]
+        hidden, cache = gpt_pass(params, x, cache.pos, cache, cfg)
+        cache = cache._replace(pos=cache.pos + 1)
+        logits = (
+            hidden[:, 0] @ params["head_w"] + params["head_b"]
+        ).astype(jnp.float32)
+        # minimum-length floor: the stop token is masked while fewer than
+        # min_tokens audio tokens have been emitted (0 = inert). The
+        # benchmark uses this the way the ASR rows use token budgets —
+        # random weights stop immediately; real weights speak the text.
+        v = logits.shape[-1]
+        stop_blocked = hist_len < min_tokens
+        logits = jnp.where(
+            (jnp.arange(v) == cfg.stop_audio_token)[None] & stop_blocked,
+            -1e30,
+            logits,
+        )
+        key, sub = jax.random.split(key)
+        nxt = _sample_token(
+            logits, history, sub, temperature, top_k, top_p,
+            repetition_penalty, do_sample, cfg,
+        )
+        nxt = jnp.where(done, cfg.stop_audio_token, nxt)
+        done = done | (nxt == cfg.stop_audio_token)
+        history = jax.lax.dynamic_update_index_in_dim(
+            history, nxt, hist_len, axis=1
+        )
+        return (nxt, cache, history, hist_len + 1, key, done), (nxt, hidden[:, 0])
+
+    done0 = jnp.zeros((batch,), bool)
+    (tok, cache, history, hist_len, key, done), (tokens, latents) = jax.lax.scan(
+        step,
+        (last_token, cache, history, hist_len, key, done0),
+        jnp.arange(chunk),
+    )
+    return (
+        tokens.transpose(1, 0),  # (B, chunk)
+        latents.transpose(1, 0, 2),  # (B, chunk, D)
+        cache,
+        history,
+        hist_len,
+        done,
+    )
+
+
 def build_decode_chunk(cfg: GPTConfig, batch: int, chunk: int, max_len: int):
     """Jitted chunked decode: emit `chunk` audio tokens in one dispatch.
-
-    Returns (tokens (B, chunk), latents (B, chunk, D), cache, done).
-    Latents are the final hidden states for the emitted positions — the
-    HiFi-GAN vocoder input (XTTS decodes from GPT latents, not codes).
-    """
-
-    @partial(jax.jit, donate_argnums=(2,))
-    def decode_chunk(
-        params,
-        last_token,  # (B,) int32; start_audio_token for the first chunk
-        cache: GPTCache,
-        history,  # (B, max_audio) int32 token history (for rep. penalty)
-        hist_len,  # () int32
-        key,
-        temperature,
-        top_k,
-        top_p,
-        repetition_penalty,
-        do_sample,
-    ):
-        dtype = params["text_emb"].dtype
-
-        def audio_embed(tok, pos):
-            e = jnp.take(params["audio_emb"], tok, axis=0)
-            return (e + jnp.take(params["audio_pos"], pos, axis=0)).astype(dtype)
-
-        def step(carry, i):
-            tok, cache, history, hist_len, key, done = carry
-            audio_pos = hist_len + 1  # +1: start token occupies audio pos 0
-            x = audio_embed(tok, audio_pos)[:, None, :]
-            hidden, cache = gpt_pass(params, x, cache.pos, cache, cfg)
-            cache = cache._replace(pos=cache.pos + 1)
-            logits = (
-                hidden[:, 0] @ params["head_w"] + params["head_b"]
-            ).astype(jnp.float32)
-            key, sub = jax.random.split(key)
-            nxt = _sample_token(
-                logits, history, sub, temperature, top_k, top_p,
-                repetition_penalty, do_sample, cfg,
-            )
-            nxt = jnp.where(done, cfg.stop_audio_token, nxt)
-            done = done | (nxt == cfg.stop_audio_token)
-            history = jax.lax.dynamic_update_index_in_dim(
-                history, nxt, hist_len, axis=1
-            )
-            return (nxt, cache, history, hist_len + 1, key, done), (nxt, hidden[:, 0])
-
-        done0 = jnp.zeros((batch,), bool)
-        (tok, cache, history, hist_len, key, done), (tokens, latents) = jax.lax.scan(
-            step,
-            (last_token, cache, history, hist_len, key, done0),
-            jnp.arange(chunk),
-        )
-        return (
-            tokens.transpose(1, 0),  # (B, chunk)
-            latents.transpose(1, 0, 2),  # (B, chunk, D)
-            cache,
-            history,
-            hist_len,
-            done,
-        )
-
-    return decode_chunk
+    (The streaming path uses the model's fused decode+vocode program
+    instead — one dispatch per chunk including the vocoder.)"""
+    del max_len  # cache shapes come from the cache argument itself
+    return jax.jit(
+        partial(run_decode_chunk, cfg=cfg, chunk=chunk, batch=batch),
+        donate_argnums=(2,),
+    )
 
 
 # --------------------------------------------------------------------------- #

@@ -7,10 +7,12 @@ xtts/main.py): speaker latents (`gpt_cond_latent` (N,1024) +
 and voice cloning from reference audio (62-74, 329-355).
 
 Streaming pipeline per chunk (stream_chunk_size tokens, default 20):
-one GPT decode-chunk dispatch (tokens + latents) → one HiFi-GAN dispatch
-(latents → 5120 samples at 24 kHz) → host crossfade over
-`overlap_wav_len` samples → yield int16 PCM. Two device dispatches per
-~213 ms of audio keeps the dispatch rate far below realtime.
+ONE fused device dispatch runs the GPT decode chunk AND the HiFi-GAN
+vocoder (tokens + waveform out; the previous chunk's latent tail rides
+along as device-resident context) → host crossfade over
+`overlap_wav_len` samples → yield PCM. One dispatch per ~853 ms of
+audio keeps the dispatch rate far below realtime even through a
+high-latency device tunnel.
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ from wis_tpu.models.xtts.gpt import (
     build_decode_chunk,
     build_prefill,
     random_gpt,
+    run_decode_chunk,
 )
 from wis_tpu.models.xtts.hifigan import (
     HiFiGANConfig,
@@ -64,6 +67,12 @@ class XTTSModel:
         dtype=jnp.bfloat16,
         seed: int = 0,
     ):
+        from wis_tpu.utils.compile_cache import enable_persistent_cache
+
+        # Same persistent XLA cache the ASR engine uses (engine.py:94-96):
+        # a standalone TTS process (wisctl run-tts, tts_app) must not pay
+        # the multi-minute remote first-compile on every boot.
+        enable_persistent_cache()
         self.cfg = cfg or XTTSConfig()
         self.dtype = dtype
         self._programs: Dict[tuple, object] = {}
@@ -122,9 +131,15 @@ class XTTSModel:
         return None
 
     def tokenize(self, text: str, language: str) -> np.ndarray:
-        """XTTS prompts are `[lang]text` over its BPE; placeholder fallback
-        maps bytes deterministically into the text vocab."""
-        prompt = f"[{language}]{text.strip().lower()}"
+        """XTTS prompts are `[lang]text` over its BPE; the text first runs
+        the Coqui-contract cleaner pipeline (textnorm.preprocess_text:
+        quotes/lowercase/number/abbreviation/symbol/whitespace — the stage
+        the reference gets from Coqui's VoiceBpeTokenizer). Placeholder
+        fallback maps bytes deterministically into the text vocab when no
+        tokenizer.json is present."""
+        from wis_tpu.models.xtts.textnorm import preprocess_text
+
+        prompt = f"[{language}]{preprocess_text(text, language)}"
         if self._tokenizer is not None:
             ids = self._tokenizer.encode(prompt).ids
         else:
@@ -158,6 +173,36 @@ class XTTSModel:
                 prog = build_decode_chunk(
                     g, batch=1, chunk=kw["chunk"], max_len=max_len
                 )
+            elif kind == "decode_vocode":
+                # The streaming hot path: GPT chunk decode AND the
+                # HiFi-GAN vocoder in ONE dispatch. Through the device
+                # tunnel every dispatch+fetch round costs ~27 ms; fusing
+                # removes a dispatch, a latents round-trip, and the
+                # eager concat/astype ops between the two programs.
+                from functools import partial as _partial
+
+                chunk = kw["chunk"]
+                left = self.cfg.left_context_frames
+                voc_cfg = self.cfg.vocoder
+                run = _partial(run_decode_chunk, cfg=g, chunk=chunk, batch=1)
+
+                @_partial(jax.jit, donate_argnums=(3,))
+                def decode_vocode(
+                    params, voc_params, ctx, cache, last, history,
+                    hist_len, speaker, key, t_, tk, tp, rp, ds, mt,
+                ):
+                    tokens, latents, cache, history, hist_len, done = run(
+                        params, last, cache, history, hist_len, key,
+                        t_, tk, tp, rp, ds, mt,
+                    )
+                    voc_in = jnp.concatenate(
+                        [ctx, latents], axis=1
+                    ).astype(speaker.dtype)
+                    wav = hifigan_forward(voc_params, voc_in, speaker, voc_cfg)
+                    new_ctx = latents[:, -left:]
+                    return tokens, wav, new_ctx, cache, history, hist_len, done
+
+                prog = decode_vocode
             elif kind == "vocoder":
                 frames = kw["frames"]
 
@@ -254,6 +299,7 @@ class XTTSModel:
         speed: float = 1.0,
         decoder: str = "ne_hifigan",
         seed: int = 0,
+        min_audio_tokens: int = 0,
     ) -> Iterator[np.ndarray]:
         """Yield float32 waveform chunks at 24 kHz (API surface:
         reference xtts/main.py:243-325).
@@ -281,11 +327,7 @@ class XTTSModel:
         speaker = np.asarray(speaker_embedding, np.float32).reshape(1, -1)
 
         prefill = self._program("prefill", text_len=bucket)
-        decode = self._program("decode", chunk=stream_chunk_size, text_len=bucket)
-        vocode = self._program(
-            "vocoder",
-            frames=stream_chunk_size + self.cfg.left_context_frames,
-        )
+        decode = self._program("decode_vocode", chunk=stream_chunk_size)
 
         _, cache = prefill(
             self.gpt_params, jnp.asarray(cond, self.dtype), jnp.asarray(text_pad[None])
@@ -299,43 +341,33 @@ class XTTSModel:
         tp = jnp.float32(top_p)
         rp = jnp.float32(repetition_penalty)
         ds = jnp.bool_(do_sample)
+        mt = jnp.int32(min_audio_tokens)
+        speaker_dev = jnp.asarray(speaker, self.dtype)
+        ctx = jnp.zeros(
+            (1, self.cfg.left_context_frames, g.d_model), self.dtype
+        )
 
-        prev_latents_tail = None
         prev_wav_tail: Optional[np.ndarray] = None
         emitted = 0
         max_chunks = g.max_audio_tokens // stream_chunk_size
 
         for _ in range(max_chunks):
             key, sub = jax.random.split(key)
-            tokens_out, latents, cache, history, hist_len, done = decode(
-                self.gpt_params, last, cache, history, hist_len, sub, t_, tk, tp, rp, ds
+            tokens_out, wav_dev, ctx, cache, history, hist_len, done = decode(
+                self.gpt_params, vocoder_params, ctx, cache, last, history,
+                hist_len, speaker_dev, sub, t_, tk, tp, rp, ds, mt,
             )
             last = tokens_out[:, -1]
             toks = np.asarray(tokens_out[0])
-            lat_np = latents  # stays on device
 
             # count valid (pre-stop) tokens in this chunk
             stop_positions = np.where(toks == g.stop_audio_token)[0]
             valid = int(stop_positions[0]) if stop_positions.size else len(toks)
 
             if valid > 0:
-                if prev_latents_tail is None:
-                    ctx = jnp.zeros(
-                        (1, self.cfg.left_context_frames, g.d_model), lat_np.dtype
-                    )
-                else:
-                    ctx = prev_latents_tail
-                voc_in = jnp.concatenate([ctx, lat_np], axis=1)
-                wav = np.asarray(
-                    vocode(
-                        vocoder_params,
-                        voc_in.astype(self.dtype),
-                        jnp.asarray(speaker, self.dtype),
-                    )
-                )[0]
+                wav = np.asarray(wav_dev)[0]
                 up = self.cfg.vocoder.total_upsample
                 wav = wav[self.cfg.left_context_frames * up :][: valid * up].copy()
-                prev_latents_tail = lat_np[:, -self.cfg.left_context_frames :]
 
                 # crossfade with the previous chunk tail (overlap_wav_len)
                 if prev_wav_tail is not None and overlap_wav_len > 0:
