@@ -242,10 +242,11 @@ def _tts_row() -> None:
     min_audio_tokens pins a realistic utterance length the way the ASR
     rows pin token budgets: random weights sample the stop token almost
     immediately, which would leave the measurement dominated by prefill
-    + first-chunk fixed costs. The fixture sentence (~95 chars ≈ 6 s of
-    speech at XTTS's 1024-samples/24 kHz per token ≈ 140 tokens) decodes
-    the same number of chunks a real checkpoint would speak; with real
-    weights the default floor of 0 leaves behavior untouched."""
+    + first-chunk fixed costs. The fixture sentence (~95 chars ≈ 6.5 s
+    of speech at XTTS's 1024-sample code stride @ 22.05 kHz ≈ 46.4 ms
+    per token ≈ 140 tokens) decodes the same number of chunks a real
+    checkpoint would speak; with real weights the default floor of 0
+    leaves behavior untouched."""
     import statistics as stats
     import time
 

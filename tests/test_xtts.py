@@ -34,6 +34,9 @@ MICRO = XTTSConfig(
         upsample_kernels=(8, 4),
         resblock_kernels=(3,),
         resblock_dilations=((1, 3),),
+        # micro-scale latent timeline: ×2 interp (16/8) then 22050→24000,
+        # same code path as production's ×4 @ 1024/256
+        gpt_code_stride=16,
     ),
     text_buckets=(8, 16, 32),
     cond_len=4,
@@ -78,8 +81,7 @@ def test_inference_stream_yields_audio(model):
     )
     assert len(chunks) >= 1
     total = np.concatenate(chunks)
-    up = MICRO.vocoder.total_upsample
-    assert total.shape[0] % up == 0 or total.shape[0] > 0
+    assert total.shape[0] > 0
     assert np.isfinite(total).all()
     assert np.abs(total).max() <= 1.0  # tanh output
 
@@ -91,13 +93,16 @@ def test_min_audio_tokens_floor(model):
     voice = _voice(model)
     lat = np.asarray(voice["gpt_cond_latent"], np.float32)
     emb = np.asarray(voice["speaker_embedding"], np.float32)
-    up = MICRO.vocoder.total_upsample
+    voc = MICRO.vocoder
     floor = 24
     kw = dict(stream_chunk_size=8, overlap_wav_len=0, do_sample=False)
     total = model.synthesize(
         "hi", "en", lat, emb, min_audio_tokens=floor, **kw
     )
-    assert total.shape[0] >= floor * up
+    # emission is exact-aggregate: n tokens → floor(n·stride·out/in) samples
+    floor_samples = floor * voc.gpt_code_stride * voc.sample_rate \
+        // voc.input_sample_rate
+    assert total.shape[0] >= floor_samples
     # floor 0 is inert: identical call without the floor is a prefix run
     base = model.synthesize("hi", "en", lat, emb, **kw)
     assert base.shape[0] <= total.shape[0]

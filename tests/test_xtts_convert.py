@@ -16,6 +16,7 @@ VOC = HiFiGANConfig(
     in_dim=16, cond_dim=8, upsample_initial=16,
     upsample_rates=(4, 2), upsample_kernels=(8, 4),
     resblock_kernels=(3,), resblock_dilations=((1, 3),),
+    gpt_code_stride=16,  # ×2 latent interp at micro scale
 )
 
 
@@ -117,8 +118,125 @@ def test_hifigan_conversion_and_forward():
     latents = jnp.zeros((1, 6, 16), jnp.float32)
     speaker = jnp.ones((1, 8), jnp.float32)
     wav = hifigan_forward(params, latents, speaker, VOC)
-    assert wav.shape == (1, 6 * VOC.total_upsample)
+    assert wav.shape == (1, VOC.vocoded_length(6))
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_latent_timeline_matches_torch_interpolate():
+    """The two HifiDecoder pre-stages must reproduce torch
+    F.interpolate(mode='linear', align_corners=False) — lengths (floor)
+    AND values (half-pixel sampling) — at the production ratios
+    (×4 = 1024/256, then ×24000/22050)."""
+    import jax.numpy as jnp
+    import torch
+
+    from wis_tpu.models.xtts.hifigan import latent_timeline
+
+    cfg = HiFiGANConfig(
+        in_dim=4, upsample_rates=(4,), upsample_kernels=(8,),
+        gpt_code_stride=16,  # ×4 interp, same ratio as production
+    )
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 7, 4)).astype(np.float32)
+
+    z = np.asarray(latent_timeline(jnp.asarray(x), cfg))
+
+    t = torch.nn.functional.interpolate(
+        torch.from_numpy(x).transpose(1, 2),
+        scale_factor=cfg.gpt_code_stride / cfg.total_upsample,
+        mode="linear",
+    )
+    t = torch.nn.functional.interpolate(
+        t, scale_factor=cfg.sample_rate / cfg.input_sample_rate, mode="linear"
+    ).transpose(1, 2).numpy()
+
+    assert z.shape == t.shape == (2, 30, 4)
+    np.testing.assert_allclose(z, t, rtol=1e-5, atol=1e-6)
+
+
+def _torch_hifigan_mirror(sd, latents, speaker, cfg):
+    """Functional torch mirror of Coqui's HifiDecoder + HifiganGenerator
+    forward (TTS/vocoder/models/hifigan_generator.py semantics: explicit
+    torch paddings, LRELU_SLOPE=0.1 except the default-slope 0.01
+    leaky_relu before conv_post, per-stage speaker conds, MRF average) —
+    the external oracle for the lax conv/conv_transpose equivalences in
+    wis_tpu/models/xtts/hifigan.py."""
+    import torch
+    import torch.nn.functional as F
+
+    p = "hifigan_decoder.waveform_decoder."
+    w = lambda k: torch.from_numpy(sd[p + k + ".weight"])  # noqa: E731
+    b = lambda k: torch.from_numpy(sd[p + k + ".bias"])  # noqa: E731
+
+    x = torch.from_numpy(latents).transpose(1, 2)  # (B, C, T)
+    g = torch.from_numpy(speaker)[:, :, None]
+    # HifiDecoder latent-timeline pre-stages
+    x = F.interpolate(
+        x, scale_factor=cfg.gpt_code_stride / cfg.total_upsample, mode="linear"
+    )
+    if cfg.sample_rate != cfg.input_sample_rate:
+        x = F.interpolate(
+            x, scale_factor=cfg.sample_rate / cfg.input_sample_rate,
+            mode="linear",
+        )
+
+    o = F.conv1d(x, w("conv_pre"), b("conv_pre"), padding=3)
+    o = o + F.conv1d(g, w("cond_layer"), b("cond_layer"))
+    for i, (r, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernels)):
+        o = F.leaky_relu(o, 0.1)
+        o = F.conv_transpose1d(
+            o, w(f"ups.{i}"), b(f"ups.{i}"), stride=r, padding=(k - r) // 2
+        )
+        o = o + F.conv1d(g, w(f"conds.{i}"), b(f"conds.{i}"))
+        acc = None
+        for j, rk in enumerate(cfg.resblock_kernels):
+            ridx = i * len(cfg.resblock_kernels) + j
+            xt = o
+            for d_i, d in enumerate(cfg.resblock_dilations[j]):
+                h = F.leaky_relu(xt, 0.1)
+                h = F.conv1d(
+                    h,
+                    w(f"resblocks.{ridx}.convs1.{d_i}"),
+                    b(f"resblocks.{ridx}.convs1.{d_i}"),
+                    dilation=d,
+                    padding=(rk - 1) * d // 2,
+                )
+                h = F.leaky_relu(h, 0.1)
+                h = F.conv1d(
+                    h,
+                    w(f"resblocks.{ridx}.convs2.{d_i}"),
+                    b(f"resblocks.{ridx}.convs2.{d_i}"),
+                    padding=(rk - 1) // 2,
+                )
+                xt = xt + h
+            acc = xt if acc is None else acc + xt
+        o = acc / len(cfg.resblock_kernels)
+    o = F.leaky_relu(o)  # upstream quirk: default slope 0.01 here
+    o = F.conv1d(o, w("conv_post"), b("conv_post"), padding=3)
+    return torch.tanh(o).squeeze(1).numpy()
+
+
+def test_hifigan_matches_torch_mirror():
+    """Full vocoder forward — interpolation pre-stages, SAME-padded convs,
+    transposed convs, conditioning injections, MRF resblocks, final
+    default-slope relu — must be numerically equal to the torch
+    semantics the real checkpoint was trained under."""
+    import jax.numpy as jnp
+
+    from wis_tpu.models.xtts.hifigan import hifigan_forward
+
+    rng = np.random.default_rng(7)
+    sd = _hifigan_sd()
+    params = hifigan_from_coqui(sd, VOC, dtype=jnp.float32)
+    latents = rng.standard_normal((2, 6, VOC.in_dim)).astype(np.float32)
+    speaker = rng.standard_normal((2, VOC.cond_dim)).astype(np.float32)
+
+    ours = np.asarray(
+        hifigan_forward(params, jnp.asarray(latents), jnp.asarray(speaker), VOC)
+    )
+    theirs = _torch_hifigan_mirror(sd, latents, speaker, VOC)
+    assert ours.shape == theirs.shape == (2, VOC.vocoded_length(6))
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-5)
 
 
 def test_weight_norm_resolution():

@@ -8,6 +8,14 @@ embedding injected at every upsampling stage (XTTS's
 latent frame — with multi-receptive-field fusion resblocks (kernels
 3/7/11, dilations 1/3/5).
 
+The forward includes Coqui HifiDecoder's two latent-timeline pre-stages
+(both half-pixel linear interpolation, torch F.interpolate
+align_corners=False): GPT emits ONE latent per 1024-sample code stride
+at 22 050 Hz, the generator hops 256 — so latents stretch ×(1024/256)
+and then ×(24000/22050) onto the output-rate timeline before conv_pre.
+One audio token ≈ 1024·24000/22050 ≈ 1114.6 output samples (46.4 ms).
+Without these stages a real checkpoint would speak 4.35× too fast.
+
 All convs run as `lax.conv_general_dilated` in NHC layout; the whole
 vocoder is one jit program per (batch, frame-count) shape — streaming
 chunks reuse a fixed frame-count program.
@@ -33,6 +41,12 @@ class HiFiGANConfig:
     resblock_kernels: Tuple[int, ...] = (3, 7, 11)
     resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
     sample_rate: int = 24000
+    #: GPT code stride: one audio token covers this many samples at
+    #: input_sample_rate (Coqui ar_mel_length_compression)
+    gpt_code_stride: int = 1024
+    #: the GPT latent timeline's native rate (Coqui input_sample_rate);
+    #: latents are linearly resampled to sample_rate before the generator
+    input_sample_rate: int = 22050
 
     @property
     def total_upsample(self) -> int:
@@ -40,6 +54,19 @@ class HiFiGANConfig:
         for r in self.upsample_rates:
             out *= r
         return out
+
+    def vocoded_length(self, n_tokens: int) -> int:
+        """Output samples produced for n_tokens latent frames (after the
+        two interpolation stages; mirrors torch floor semantics)."""
+        t4 = n_tokens * self.gpt_code_stride // self.total_upsample
+        t_out = t4 * self.sample_rate // self.input_sample_rate
+        return t_out * self.total_upsample
+
+    @property
+    def samples_per_token(self) -> float:
+        """Ideal output samples per audio token: code-stride seconds of
+        speech at the output rate (1024·24000/22050 ≈ 1114.56)."""
+        return self.gpt_code_stride * self.sample_rate / self.input_sample_rate
 
 
 def _conv1d(x, w, b, stride=1, dilation=1, padding="SAME"):
@@ -82,10 +109,48 @@ def _resblock(x, blk, kernel: int, dilations):
     return x
 
 
+def _linear_interp(x: jnp.ndarray, out_len: int, scale: float) -> jnp.ndarray:
+    """torch F.interpolate(mode='linear', align_corners=False) on the
+    time axis of (B, T, C). torch maps output i to source (i+0.5)/scale
+    - 0.5 using the USER scale_factor (not out/in — they differ for
+    fractional scales, which is why jax.image.resize can't be used),
+    edge-clamped, then lerps the two neighbours."""
+    t = x.shape[1]
+    src = (jnp.arange(out_len, dtype=jnp.float32) + 0.5) / scale - 0.5
+    src = jnp.clip(src, 0.0, t - 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, t - 1)
+    w = (src - lo.astype(jnp.float32))[None, :, None]
+    xf = x.astype(jnp.float32)
+    return jnp.take(xf, lo, axis=1) * (1.0 - w) + jnp.take(xf, hi, axis=1) * w
+
+
+def latent_timeline(latents: jnp.ndarray, cfg: HiFiGANConfig) -> jnp.ndarray:
+    """Coqui HifiDecoder.forward's pre-stages: stretch the GPT latent
+    sequence onto the generator's output-rate hop grid. Two half-pixel
+    linear interpolations: ×(code_stride/hop) then
+    ×(sample_rate/input_sample_rate), lengths floored like torch."""
+    t = latents.shape[1]
+    assert cfg.gpt_code_stride % cfg.total_upsample == 0, (
+        "gpt_code_stride must be a multiple of the generator upsample "
+        f"({cfg.gpt_code_stride} vs {cfg.total_upsample})"
+    )
+    z = latents
+    t4 = t * cfg.gpt_code_stride // cfg.total_upsample
+    if t4 != t:
+        z = _linear_interp(z, t4, cfg.gpt_code_stride / cfg.total_upsample)
+    if cfg.sample_rate != cfg.input_sample_rate:
+        t_out = t4 * cfg.sample_rate // cfg.input_sample_rate
+        z = _linear_interp(z, t_out, cfg.sample_rate / cfg.input_sample_rate)
+    return z.astype(latents.dtype)
+
+
 def hifigan_forward(
     params: Dict, latents: jnp.ndarray, speaker: jnp.ndarray, cfg: HiFiGANConfig
 ) -> jnp.ndarray:
-    """latents (B, T, in_dim), speaker (B, cond_dim) → wav (B, T*256)."""
+    """latents (B, T, in_dim), speaker (B, cond_dim) →
+    wav (B, cfg.vocoded_length(T))."""
+    latents = latent_timeline(latents, cfg)
     x = _conv1d(latents, params["pre_w"], params["pre_b"])
     x = x + (speaker @ params["cond_w"] + params["cond_b"])[:, None, :].astype(x.dtype)
     for i, (rate, _k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernels)):
@@ -104,7 +169,10 @@ def hifigan_forward(
             )
             acc = r if acc is None else acc + r
         x = acc / len(cfg.resblock_kernels)
-    x = jax.nn.leaky_relu(x, 0.1)
+    # the original HiFi-GAN (and Coqui's copy) calls F.leaky_relu(o) with
+    # the DEFAULT slope before conv_post — 0.01, not the 0.1 used
+    # everywhere else (upstream quirk, kept for checkpoint parity)
+    x = jax.nn.leaky_relu(x, 0.01)
     x = _conv1d(x, params["post_w"], params["post_b"])
     return jnp.tanh(x[..., 0])
 

@@ -8,11 +8,14 @@ and voice cloning from reference audio (62-74, 329-355).
 
 Streaming pipeline per chunk (stream_chunk_size tokens, default 20):
 ONE fused device dispatch runs the GPT decode chunk AND the HiFi-GAN
-vocoder (tokens + waveform out; the previous chunk's latent tail rides
-along as device-resident context) → host crossfade over
-`overlap_wav_len` samples → yield PCM. One dispatch per ~853 ms of
-audio keeps the dispatch rate far below realtime even through a
-high-latency device tunnel.
+vocoder (incl. Coqui HifiDecoder's latent-timeline interpolations —
+one token ≈ 1114.6 samples ≈ 46.4 ms at 24 kHz); everything the host
+needs comes back in ONE packed float32 fetch (wav ‖ valid ‖ done) while
+decode state chains device-resident, and chunk i+1 is dispatched before
+chunk i is fetched so the tunnel round-trip hides behind device
+compute. Host side: crossfade over `overlap_wav_len` samples → yield
+PCM. One dispatch per ~929 ms of audio keeps the dispatch rate far
+below realtime even through a high-latency device tunnel.
 """
 
 from __future__ import annotations
@@ -179,6 +182,13 @@ class XTTSModel:
                 # tunnel every dispatch+fetch round costs ~27 ms; fusing
                 # removes a dispatch, a latents round-trip, and the
                 # eager concat/astype ops between the two programs.
+                #
+                # Everything the host needs per chunk rides in ONE
+                # fetchable float32 array (wav ‖ valid ‖ done) — a single
+                # d2h round — while all decode state (cache, last token,
+                # history, PRNG key, vocoder left context) stays
+                # device-resident, so the next chunk can be dispatched
+                # speculatively before this one is fetched.
                 from functools import partial as _partial
 
                 chunk = kw["chunk"]
@@ -191,8 +201,9 @@ class XTTSModel:
                     params, voc_params, ctx, cache, last, history,
                     hist_len, speaker, key, t_, tk, tp, rp, ds, mt,
                 ):
+                    key, sub = jax.random.split(key)
                     tokens, latents, cache, history, hist_len, done = run(
-                        params, last, cache, history, hist_len, key,
+                        params, last, cache, history, hist_len, sub,
                         t_, tk, tp, rp, ds, mt,
                     )
                     voc_in = jnp.concatenate(
@@ -200,7 +211,20 @@ class XTTSModel:
                     ).astype(speaker.dtype)
                     wav = hifigan_forward(voc_params, voc_in, speaker, voc_cfg)
                     new_ctx = latents[:, -left:]
-                    return tokens, wav, new_ctx, cache, history, hist_len, done
+                    # valid = tokens before the first stop in this chunk
+                    is_stop = tokens[0] == g.stop_audio_token
+                    valid = jnp.where(
+                        is_stop.any(), jnp.argmax(is_stop), jnp.int32(chunk)
+                    )
+                    packed = jnp.concatenate(
+                        [
+                            wav[0].astype(jnp.float32),
+                            valid.astype(jnp.float32)[None],
+                            done[0].astype(jnp.float32)[None],
+                        ]
+                    )
+                    state = (new_ctx, cache, tokens[:, -1], history, hist_len, key)
+                    return packed, state
 
                 prog = decode_vocode
             elif kind == "vocoder":
@@ -332,10 +356,6 @@ class XTTSModel:
         _, cache = prefill(
             self.gpt_params, jnp.asarray(cond, self.dtype), jnp.asarray(text_pad[None])
         )
-        last = jnp.full((1,), g.start_audio_token, jnp.int32)
-        history = jnp.zeros((1, g.max_audio_tokens), jnp.int32)
-        hist_len = jnp.int32(0)
-        key = jax.random.PRNGKey(seed)
         t_ = jnp.float32(temperature)
         tk = jnp.int32(top_k)
         tp = jnp.float32(top_p)
@@ -343,31 +363,61 @@ class XTTSModel:
         ds = jnp.bool_(do_sample)
         mt = jnp.int32(min_audio_tokens)
         speaker_dev = jnp.asarray(speaker, self.dtype)
-        ctx = jnp.zeros(
-            (1, self.cfg.left_context_frames, g.d_model), self.dtype
+        state = (
+            jnp.zeros((1, self.cfg.left_context_frames, g.d_model), self.dtype),
+            cache,
+            jnp.full((1,), g.start_audio_token, jnp.int32),
+            jnp.zeros((1, g.max_audio_tokens), jnp.int32),
+            jnp.int32(0),
+            jax.random.PRNGKey(seed),
         )
+
+        def launch(st):
+            ctx, cache, last, history, hist_len, key = st
+            return decode(
+                self.gpt_params, vocoder_params, ctx, cache, last, history,
+                hist_len, speaker_dev, key, t_, tk, tp, rp, ds, mt,
+            )
+
+        voc = self.cfg.vocoder
+        chunk = stream_chunk_size
+        left = self.cfg.left_context_frames
+        # exact aggregate duration: token n's emission boundary in output
+        # samples (floor, so per-chunk slices sum to the true length)
+        target = lambda n: n * voc.gpt_code_stride * voc.sample_rate \
+            // voc.input_sample_rate  # noqa: E731
 
         prev_wav_tail: Optional[np.ndarray] = None
         emitted = 0
-        max_chunks = g.max_audio_tokens // stream_chunk_size
+        max_chunks = g.max_audio_tokens // chunk
 
-        for _ in range(max_chunks):
-            key, sub = jax.random.split(key)
-            tokens_out, wav_dev, ctx, cache, history, hist_len, done = decode(
-                self.gpt_params, vocoder_params, ctx, cache, last, history,
-                hist_len, speaker_dev, sub, t_, tk, tp, rp, ds, mt,
-            )
-            last = tokens_out[:, -1]
-            toks = np.asarray(tokens_out[0])
-
-            # count valid (pre-stop) tokens in this chunk
-            stop_positions = np.where(toks == g.stop_audio_token)[0]
-            valid = int(stop_positions[0]) if stop_positions.size else len(toks)
+        # Pipeline depth 1: chunk i+1 is dispatched BEFORE chunk i's
+        # packed result is fetched, so the ~27 ms tunnel fetch of chunk i
+        # overlaps chunk i+1's device compute. State chains entirely on
+        # device; if chunk i says stop, the speculative dispatch is
+        # simply never fetched (one chunk of wasted device time per
+        # utterance, invisible to the caller).
+        pending, state = launch(state)
+        for i in range(max_chunks):
+            if i + 1 < max_chunks:
+                nxt, state = launch(state)
+            else:
+                nxt = None
+            arr = np.asarray(pending)
+            pending = nxt
+            valid = int(arr[-2])
+            done = bool(arr[-1])
 
             if valid > 0:
-                wav = np.asarray(wav_dev)[0]
-                up = self.cfg.vocoder.total_upsample
-                wav = wav[self.cfg.left_context_frames * up :][: valid * up].copy()
+                full = arr[:-2]
+                # the chunk's local wav covers (left + chunk) tokens and
+                # ends exactly at token boundary emitted+chunk; emit the
+                # `want` samples ending at the first `valid` new tokens'
+                # boundary (sub-sample boundary jitter from the two
+                # floor-interpolations is absorbed by the crossfade)
+                want = target(emitted + valid) - target(emitted)
+                end = round(len(full) * (left + valid) / (left + chunk))
+                wav = full[max(0, end - want): end].copy()
 
                 # crossfade with the previous chunk tail (overlap_wav_len)
                 if prev_wav_tail is not None and overlap_wav_len > 0:
@@ -377,9 +427,7 @@ class XTTSModel:
                         wav[:n] = wav[:n] * ramp + prev_wav_tail[:n] * (1 - ramp)
                 if overlap_wav_len > 0 and len(wav) > overlap_wav_len:
                     prev_wav_tail = wav[-overlap_wav_len:].copy()
-                    out = wav[:len(wav)]
-                else:
-                    out = wav
+                out = wav
                 if speed != 1.0 and speed > 0:
                     from wis_tpu.audio import codecs
 
@@ -391,7 +439,7 @@ class XTTSModel:
                 emitted += valid
                 yield out.astype(np.float32)
 
-            if bool(np.asarray(done).all()) or valid < len(toks):
+            if done or valid < chunk:
                 break
 
     def inference_stream_split(
