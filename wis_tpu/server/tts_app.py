@@ -108,10 +108,17 @@ def _voice_seed_audio(f0: float, seconds: float = 4.0, sr: int = 16000) -> np.nd
 
 
 def provision_builtin_voices(model: XTTSModel):
-    """Returns a provision callback enrolling default/female/male."""
+    """Returns a provision callback enrolling the reference's shipped
+    voice set (xtts/{default,female,male,CLB}.json — CLB is the Arctic
+    corpus speaker the reference bundles)."""
 
     def provision(store: SpeakerStore) -> None:
-        for name, f0 in (("default", 160.0), ("female", 225.0), ("male", 120.0)):
+        for name, f0 in (
+            ("default", 160.0),
+            ("female", 225.0),
+            ("male", 120.0),
+            ("CLB", 210.0),
+        ):
             if store.load(name) is None:
                 store.save(name, model.clone_speaker(_voice_seed_audio(f0)))
         logger.info("TTS: provisioned built-in voices %s", store.names())
