@@ -56,7 +56,9 @@ def test_gpt_conversion_shapes_and_forward():
     import jax.numpy as jnp
 
     params = gpt_from_coqui(_gpt_sd(), GPT, dtype=jnp.float32)
-    assert params["blocks"]["attn_w"].shape == (2, 16, 48)
+    # packed c_attn is split into per-projection leaves (TP sharding)
+    for leaf in ("q_w", "k_w", "v_w"):
+        assert params["blocks"][leaf].shape == (2, 16, 16)
     assert params["head_w"].shape == (16, GPT.n_audio_vocab)
     # converted params drive the decode machinery
     from wis_tpu.models.xtts.gpt import build_decode_chunk, build_prefill
@@ -427,7 +429,8 @@ def test_production_key_coverage():
     )
 
     assert cond_params["_unmapped"] == [], cond_params["_unmapped"]
-    assert gpt_params["blocks"]["attn_w"].shape == (30, 64, 192)
+    assert gpt_params["blocks"]["q_w"].shape == (30, 64, 64)
+    assert gpt_params["blocks"]["v_w"].shape == (30, 64, 64)
     assert voc_params["ups"][0]["w"].shape == (16, 16, 32)
 
     leftovers = []

@@ -65,6 +65,20 @@ def gpt_from_coqui(
             np.stack([sd[p.format(i) + sub] for i in range(L)]), jnp.float32
         )
 
+    def stack_qkv(sub, part, axis):
+        """GPT2 packs q‖k‖v in c_attn; split into separate leaves so
+        tensor-parallel column-sharding slices whole heads
+        (parallel/mesh.py xtts_gpt_param_specs)."""
+        return jnp.asarray(
+            np.stack(
+                [
+                    np.split(sd[p.format(i) + sub], 3, axis=axis)[part]
+                    for i in range(L)
+                ]
+            ),
+            dtype,
+        )
+
     return {
         "text_emb": jnp.asarray(sd["gpt.text_embedding.weight"], dtype),
         "text_pos": jnp.asarray(sd["gpt.text_pos_embedding.emb.weight"], dtype),
@@ -73,8 +87,12 @@ def gpt_from_coqui(
         "blocks": {
             "ln1_g": stack_f32("ln_1.weight"),
             "ln1_b": stack_f32("ln_1.bias"),
-            "attn_w": stack("attn.c_attn.weight"),
-            "attn_b": stack("attn.c_attn.bias"),
+            "q_w": stack_qkv("attn.c_attn.weight", 0, axis=-1),
+            "q_b": stack_qkv("attn.c_attn.bias", 0, axis=-1),
+            "k_w": stack_qkv("attn.c_attn.weight", 1, axis=-1),
+            "k_b": stack_qkv("attn.c_attn.bias", 1, axis=-1),
+            "v_w": stack_qkv("attn.c_attn.weight", 2, axis=-1),
+            "v_b": stack_qkv("attn.c_attn.bias", 2, axis=-1),
             "proj_w": stack("attn.c_proj.weight"),
             "proj_b": stack("attn.c_proj.bias"),
             "ln2_g": stack_f32("ln_2.weight"),

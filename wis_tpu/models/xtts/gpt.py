@@ -80,8 +80,13 @@ def gpt_pass(
     def block(x, scanned):
         blk, ck, cv = scanned
         hdn = _ln(x, blk["ln1_g"], blk["ln1_b"])
-        qkv = hdn @ blk["attn_w"] + blk["attn_b"]  # (B,T,3D)
-        q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+        # q/k/v are separate leaves (split from GPT2's packed c_attn at
+        # conversion) so Megatron column-sharding slices whole heads —
+        # a contiguous slice of the packed (D, 3D) matrix would mix the
+        # three projections (parallel/mesh.py xtts_gpt_param_specs)
+        q = hdn @ blk["q_w"] + blk["q_b"]
+        k_new = hdn @ blk["k_w"] + blk["k_b"]
+        v_new = hdn @ blk["v_w"] + blk["v_b"]
         reshape = lambda a: a.reshape(b, t, h, dh).transpose(0, 2, 1, 3)  # noqa: E731
         q, k_new, v_new = reshape(q), reshape(k_new), reshape(v_new)
         ck = jax.lax.dynamic_update_slice(ck, k_new.astype(dtype), (0, 0, pos_offset, 0))
@@ -301,8 +306,12 @@ def random_gpt(cfg: GPTConfig, seed: int = 0, dtype=jnp.bfloat16) -> Dict:
         "blocks": {
             "ln1_g": jnp.ones((L, D), jnp.float32),
             "ln1_b": jnp.zeros((L, D), jnp.float32),
-            "attn_w": dense(L, D, 3 * D),
-            "attn_b": jnp.zeros((L, 3 * D), dtype),
+            "q_w": dense(L, D, D),
+            "q_b": jnp.zeros((L, D), dtype),
+            "k_w": dense(L, D, D),
+            "k_b": jnp.zeros((L, D), dtype),
+            "v_w": dense(L, D, D),
+            "v_b": jnp.zeros((L, D), dtype),
             "proj_w": dense(L, D, D),
             "proj_b": jnp.zeros((L, D), dtype),
             "ln2_g": jnp.ones((L, D), jnp.float32),

@@ -110,6 +110,50 @@ def whisper_param_specs(cfg: WhisperConfig, tensor_parallel: bool = True) -> dic
     }
 
 
+# --------------------------------------------------------------------------- #
+# XTTS GPT tensor-parallel sharding specs
+# --------------------------------------------------------------------------- #
+def xtts_gpt_param_specs() -> dict:
+    """PartitionSpec pytree for the XTTS GPT param layout
+    (models/xtts/gpt.py random_gpt / convert.gpt_from_coqui).
+
+    Same Megatron layout as the whisper blocks: q/k/v column-parallel
+    (whole heads per shard — c_attn is split into per-projection leaves
+    at conversion to make that slicing physical), attention output and
+    mlp w2 row-parallel → one psum per attention and one per MLP.
+    Embeddings, LayerNorms and the (small, 1026-way) audio-code head
+    stay replicated; the KV cache shards on its head axis to match
+    (see xtts_cache_spec)."""
+    col_w, col_b = P(None, None, "model"), P(None, "model")
+    row_w, repl_b = P(None, "model", None), P(None, None)
+    ln = P(None, None)
+    return {
+        "text_emb": P(None, None),
+        "text_pos": P(None, None),
+        "audio_emb": P(None, None),
+        "audio_pos": P(None, None),
+        "blocks": {
+            "ln1_g": ln, "ln1_b": ln,
+            "q_w": col_w, "q_b": col_b,
+            "k_w": col_w, "k_b": col_b,
+            "v_w": col_w, "v_b": col_b,
+            "proj_w": row_w, "proj_b": repl_b,
+            "ln2_g": ln, "ln2_b": ln,
+            "mlp_w1": col_w, "mlp_b1": col_b,
+            "mlp_w2": row_w, "mlp_b2": repl_b,
+        },
+        "gpt_lnf_g": P(None), "gpt_lnf_b": P(None),
+        "lnf_g": P(None), "lnf_b": P(None),
+        "head_w": P(None, None),
+        "head_b": P(None),
+    }
+
+
+def xtts_cache_spec() -> P:
+    """KV cache (L, B, H, T, Dh): heads follow the column-sharded q/k/v."""
+    return P(None, None, "model", None, None)
+
+
 def _skeleton(cfg: WhisperConfig) -> dict:
     """A cheap pytree with the same structure as the params (for building
     replicated spec trees without materializing weights)."""
