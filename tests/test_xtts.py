@@ -239,6 +239,47 @@ def test_tts_stream_post_missing_latents(model, tmp_path):
     _run_tts(model, tmp_path, go)
 
 
+def test_int8_gpt_decode_streams_audio(model):
+    """quant='int8' (the default, mirroring the whisper decoder) streams
+    valid audio; quant='none' keeps full-precision weights and the two
+    stay deterministic within themselves."""
+    import jax.numpy as jnp
+
+    from wis_tpu.ops.quant import is_quantized
+
+    assert is_quantized(model.gpt_params["blocks"]["q_w"])  # default int8
+    fp = XTTSModel(cfg=MICRO, dtype=jnp.float32, quant="none")
+    assert not is_quantized(fp.gpt_params["blocks"]["q_w"])
+    voice = _voice(model)
+    lat = np.asarray(voice["gpt_cond_latent"], np.float32)
+    emb = np.asarray(voice["speaker_embedding"], np.float32)
+    kw = dict(stream_chunk_size=8, overlap_wav_len=0, do_sample=False)
+    a = fp.synthesize("hello", "en", lat, emb, **kw)
+    assert a.shape[0] > 0 and np.isfinite(a).all()
+    b = fp.synthesize("hello", "en", lat, emb, **kw)
+    np.testing.assert_allclose(a, b)
+
+
+def test_decode_to_position_cap_stays_finite(model):
+    """Force generation all the way to max_audio_tokens: the final
+    token's position index reaches the embedding-table edge, which used
+    to hit jnp.take's fill-with-NaN default and poison the last chunk
+    (regression: now clip + Coqui's +2 headroom rows)."""
+    voice = _voice(model)
+    total = model.synthesize(
+        "cap", "en",
+        np.asarray(voice["gpt_cond_latent"], np.float32),
+        np.asarray(voice["speaker_embedding"], np.float32),
+        stream_chunk_size=8, overlap_wav_len=0, do_sample=False,
+        min_audio_tokens=MICRO.gpt.max_audio_tokens,
+    )
+    voc = MICRO.vocoder
+    cap_samples = MICRO.gpt.max_audio_tokens * voc.gpt_code_stride \
+        * voc.sample_rate // voc.input_sample_rate
+    assert total.shape[0] == cap_samples
+    assert np.isfinite(total).all()
+
+
 def test_text_splitting(model):
     from wis_tpu.models.xtts.model import split_sentences
 

@@ -63,11 +63,19 @@ def _decode_once(params):
     return np.asarray(tokens), np.asarray(latents)
 
 
+@pytest.mark.parametrize("quant", ["none", "int8"])
 @pytest.mark.parametrize("n_model", [2, 4])
-def test_tp_decode_matches_single_device(n_model):
+def test_tp_decode_matches_single_device(n_model, quant):
+    """TP must be a pure layout change — including in production param
+    form (int8 block weights; expand_specs_for_quant shards the
+    per-output-channel scales along the same axis as the weights)."""
     if len(jax.devices()) < n_model:
         pytest.skip("needs the virtual multi-device CPU mesh")
     params = random_gpt(CFG, seed=0, dtype=jnp.float32)
+    if quant == "int8":
+        from wis_tpu.ops.quant import quantize_gpt_params
+
+        params = quantize_gpt_params(params)
     ref_tokens, ref_latents = _decode_once(params)
 
     mesh = make_mesh(n_data=1, n_model=n_model)

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from wis_tpu.ops.quant import qmatmul
+
 
 @dataclass(frozen=True)
 class GPTConfig:
@@ -83,10 +85,13 @@ def gpt_pass(
         # q/k/v are separate leaves (split from GPT2's packed c_attn at
         # conversion) so Megatron column-sharding slices whole heads —
         # a contiguous slice of the packed (D, 3D) matrix would mix the
-        # three projections (parallel/mesh.py xtts_gpt_param_specs)
-        q = hdn @ blk["q_w"] + blk["q_b"]
-        k_new = hdn @ blk["k_w"] + blk["k_b"]
-        v_new = hdn @ blk["v_w"] + blk["v_b"]
+        # three projections (parallel/mesh.py xtts_gpt_param_specs).
+        # qmatmul transparently takes bf16 or int8 {"q","s"} leaves
+        # (quant.quantize_gpt_params): the chunked decode is weight-
+        # stream-bound, so int8 halves its HBM traffic.
+        q = qmatmul(hdn, blk["q_w"]) + blk["q_b"]
+        k_new = qmatmul(hdn, blk["k_w"]) + blk["k_b"]
+        v_new = qmatmul(hdn, blk["v_w"]) + blk["v_b"]
         reshape = lambda a: a.reshape(b, t, h, dh).transpose(0, 2, 1, 3)  # noqa: E731
         q, k_new, v_new = reshape(q), reshape(k_new), reshape(v_new)
         ck = jax.lax.dynamic_update_slice(ck, k_new.astype(dtype), (0, 0, pos_offset, 0))
@@ -98,10 +103,12 @@ def gpt_pass(
         w = jax.nn.softmax(scores, axis=-1).astype(cv.dtype)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", w, cv)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, d)
-        x = x + (ctx @ blk["proj_w"] + blk["proj_b"]).astype(x.dtype)
+        x = x + (qmatmul(ctx, blk["proj_w"]) + blk["proj_b"]).astype(x.dtype)
         hdn = _ln(x, blk["ln2_g"], blk["ln2_b"])
-        ff = jax.nn.gelu(hdn @ blk["mlp_w1"] + blk["mlp_b1"], approximate=True)
-        x = x + (ff @ blk["mlp_w2"] + blk["mlp_b2"]).astype(x.dtype)
+        ff = jax.nn.gelu(
+            qmatmul(hdn, blk["mlp_w1"]) + blk["mlp_b1"], approximate=True
+        )
+        x = x + (qmatmul(ff, blk["mlp_w2"]) + blk["mlp_b2"]).astype(x.dtype)
         return x, (ck, cv)
 
     x, (nk, nv) = jax.lax.scan(block, x, (params["blocks"], cache.k, cache.v))
@@ -226,7 +233,13 @@ def run_decode_chunk(
 
     def audio_embed(tok, pos):
         e = jnp.take(params["audio_emb"], tok, axis=0)
-        return (e + jnp.take(params["audio_pos"], pos, axis=0)).astype(dtype)
+        # mode="clip": when generation runs to the max_audio_tokens cap,
+        # the final token's position (hist_len+1) can reach the table
+        # edge; jnp.take's default under jit is fill-with-NaN, which
+        # poisoned the last chunk (Coqui sizes the real table with +2
+        # headroom rows, mirrored in random_gpt)
+        pos_emb = jnp.take(params["audio_pos"], pos, axis=0, mode="clip")
+        return (e + pos_emb).astype(dtype)
 
     def step(carry, i):
         tok, cache, history, hist_len, key, done = carry
@@ -302,7 +315,10 @@ def random_gpt(cfg: GPTConfig, seed: int = 0, dtype=jnp.bfloat16) -> Dict:
         "text_emb": dense(cfg.n_text_vocab, D, scale=0.02),
         "text_pos": dense(cfg.max_text_tokens, D, scale=0.02),
         "audio_emb": dense(cfg.n_audio_vocab, D, scale=0.02),
-        "audio_pos": dense(cfg.max_audio_tokens, D, scale=0.02),
+        # +2 headroom rows like Coqui's LearnedPositionEmbeddings
+        # (max_mel_tokens + 2): the start token occupies position 0, so
+        # the cap-th generated token indexes max_audio_tokens + 1
+        "audio_pos": dense(cfg.max_audio_tokens + 2, D, scale=0.02),
         "blocks": {
             "ln1_g": jnp.ones((L, D), jnp.float32),
             "ln1_b": jnp.zeros((L, D), jnp.float32),

@@ -69,6 +69,7 @@ class XTTSModel:
         cfg: Optional[XTTSConfig] = None,
         dtype=jnp.bfloat16,
         seed: int = 0,
+        quant: str = "int8",
     ):
         from wis_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -120,6 +121,15 @@ class XTTSModel:
             self.vocoder_params = random_hifigan(
                 self.cfg.vocoder, seed=seed + 1, dtype=dtype
             )
+        if quant == "int8":
+            # the chunked decode streams the full block stack per audio
+            # token — weight-bound like the whisper decoder, where int8
+            # is the production default (settings.quant; the reference
+            # itself serves CT2 int8_float16). XTTS_QUANT=none keeps
+            # bf16 weights.
+            from wis_tpu.ops.quant import quantize_gpt_params
+
+            self.gpt_params = quantize_gpt_params(self.gpt_params)
 
     # ------------------------------------------------------------------ #
     def _load_tokenizer(self, model_dir):

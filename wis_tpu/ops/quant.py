@@ -130,6 +130,24 @@ def quantize_whisper_params(params: Dict, keys=None, subtrees=("decoder",)) -> D
     return out
 
 
+#: XTTS GPT block matmul weights (models/xtts/gpt.py layout)
+_GPT_QUANT_KEYS = ("q_w", "k_w", "v_w", "proj_w", "mlp_w1", "mlp_w2")
+
+
+def quantize_gpt_params(params: Dict) -> Dict:
+    """XTTS GPT analog of quantize_whisper_params: the chunked TTS decode
+    streams the full 30L/1024d block stack once per audio token (weight-
+    bound exactly like the whisper decoder), so the stacked block matmul
+    weights quantize to int8. Embeddings, LayerNorms, and the (small,
+    1026-way) audio-code head stay in the working dtype."""
+    blocks = dict(params["blocks"])
+    for k in _GPT_QUANT_KEYS:
+        blocks[k] = quantize_weight(blocks[k])
+    out = dict(params)
+    out["blocks"] = blocks
+    return out
+
+
 # --------------------------------------------------------------------------- #
 # int4 quantizer (nibble-packed, group-wise scales). The fused-decode int4
 # weight stream that consumed it was removed in round 3 (perf-neutral —

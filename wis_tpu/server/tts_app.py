@@ -321,7 +321,7 @@ def create_tts_app(
     settings = settings or get_api_settings()
     app = web.Application(client_max_size=512 * 1024**2)
     app["settings"] = settings
-    app["tts_model"] = model or XTTSModel()
+    app["tts_model"] = model or XTTSModel(quant=settings.xtts_quant)
     app["tts_speakers"] = SpeakerStore(settings.xtts_speaker_dir)
     app["tts_provision"] = provision_builtin_voices(app["tts_model"])
     app.router.add_post("/clone_speaker", clone_speaker)

@@ -119,6 +119,12 @@ class APISettings(BaseModel):
     #: removed in round 3; "int4" now aliases "int8" (the RTN int4
     #: quantizer itself remains in ops/quant.py). See BENCH.md §int4.
     quant: str = "int8"
+    #: XTTS GPT weight quantization: "none" | "int8". The chunked TTS
+    #: decode streams the full 30L/1024d block stack per audio token —
+    #: weight-bound like the whisper decoder, so int8 halves its HBM
+    #: traffic; embeddings/LayerNorms/audio head stay bf16
+    #: (ops/quant.py quantize_gpt_params).
+    xtts_quant: str = "int8"
     #: static HBM budget per chip in bytes (v5e = 16 GiB); residency
     #: decisions are computed against this instead of runtime VRAM probes
     hbm_budget_bytes: int = 16 * 1024**3
