@@ -154,6 +154,10 @@ def _stream_params(query) -> Dict:
         "decoder": decoder,
         "enable_text_splitting": query.get("enable_text_splitting", "false").lower()
         in ("1", "true", "t", "yes"),
+        # extension beyond the reference surface: floors the emitted token
+        # count (stop masked until then) — load/latency tests use it to
+        # pin utterance length under random weights; default 0 is inert
+        "min_audio_tokens": f("min_audio_tokens", 0, int),
     }
 
 
