@@ -142,20 +142,18 @@ def embed_prompt(
     return jnp.concatenate([cond_latent.astype(dtype), text, start], axis=1)
 
 
-def _sample_token(
+def _mask_logits(
     logits: jnp.ndarray,  # (B, V) f32
     prev_tokens: jnp.ndarray,  # (B, T_hist) int32 — for repetition penalty
-    key: jnp.ndarray,
     temperature: jnp.ndarray,
     top_k: jnp.ndarray,
     top_p: jnp.ndarray,
     repetition_penalty: jnp.ndarray,
-    do_sample: jnp.ndarray,
-    cfg: GPTConfig,
 ) -> jnp.ndarray:
-    """On-device sampling with the reference's parameter surface
-    (xtts/main.py:243-325: temperature, top_k, top_p, repetition_penalty,
-    do_sample). All params are traced scalars — no recompiles per knob."""
+    """Apply the HF logits-processor stack Coqui's generate uses —
+    RepetitionPenalty → Temperature → TopK → TopP, same staging order —
+    returning logits with masked entries at -1e30 (oracle-tested against
+    transformers' processors in test_xtts_gpt_oracle.py)."""
     v = logits.shape[-1]
     # repetition penalty (CTRL-style): divide positive logits / multiply
     # negative by the penalty for every previously-emitted token
@@ -181,8 +179,26 @@ def _sample_token(
     pth = jnp.take_along_axis(
         sorted_desc, jnp.clip(cutoff_count - 1, 0, v - 1), axis=-1
     )
-    logits = jnp.where(logits < pth, -1e30, logits)
+    return jnp.where(logits < pth, -1e30, logits)
 
+
+def _sample_token(
+    logits: jnp.ndarray,  # (B, V) f32
+    prev_tokens: jnp.ndarray,  # (B, T_hist) int32 — for repetition penalty
+    key: jnp.ndarray,
+    temperature: jnp.ndarray,
+    top_k: jnp.ndarray,
+    top_p: jnp.ndarray,
+    repetition_penalty: jnp.ndarray,
+    do_sample: jnp.ndarray,
+    cfg: GPTConfig,
+) -> jnp.ndarray:
+    """On-device sampling with the reference's parameter surface
+    (xtts/main.py:243-325: temperature, top_k, top_p, repetition_penalty,
+    do_sample). All params are traced scalars — no recompiles per knob."""
+    logits = _mask_logits(
+        logits, prev_tokens, temperature, top_k, top_p, repetition_penalty
+    )
     sampled = jax.random.categorical(key, logits, axis=-1)
     greedy = jnp.argmax(logits, axis=-1)
     return jnp.where(do_sample, sampled, greedy).astype(jnp.int32)
