@@ -317,6 +317,118 @@ def build_decode_chunk(cfg: GPTConfig, batch: int, chunk: int, max_len: int):
 
 
 # --------------------------------------------------------------------------- #
+# Fused-kernel chunk decode (ops/fused_gpt.py): the same chunk program
+# with the per-token layer scan replaced by ONE Pallas launch per token
+# --------------------------------------------------------------------------- #
+def flatten_gpt_cache(cache: GPTCache, t_pad: int):
+    """GPTCache (L, B, H, T, Dh) → the fused kernel's flat TIME-MAJOR
+    (L, D, t_pad*B) bf16 layout (flat column = t*B + row, heads merged
+    into D), zero-padded from T to the lane-aligned t_pad."""
+    L, B, H, T, Dh = cache.k.shape
+
+    def fl(c):
+        flat = c.transpose(0, 2, 4, 3, 1).reshape(L, H * Dh, T * B)
+        return jnp.pad(
+            flat, ((0, 0), (0, 0), (0, (t_pad - T) * B))
+        ).astype(jnp.bfloat16)
+
+    return fl(cache.k), fl(cache.v)
+
+
+def run_decode_chunk_fused(
+    params,
+    packed,  # ops.fused_gpt.PackedGPT
+    step_fn,  # ops.fused_gpt.build_fused_gpt_step(...) closure
+    last_token,  # (B,) int32
+    kc,  # (L, D, B*t_pad) bf16 flat time-major cache (kernel layout)
+    vc,
+    pos,  # () int32 — next cache column to write (prefix len + emitted)
+    history,  # (B, max_audio) int32
+    hist_len,  # () int32
+    key,
+    temperature,
+    top_k,
+    top_p,
+    repetition_penalty,
+    do_sample,
+    min_tokens=0,
+    *,
+    cfg: GPTConfig,
+    chunk: int,
+    batch: int,
+):
+    """run_decode_chunk with the 30-layer scan replaced by the fused
+    Pallas step (all layers, one launch, in-place aliased cache). Same
+    sampling staging and PRNG order, so given equal logits the emitted
+    tokens match the XLA path (equality-tested in test_fused_gpt.py)."""
+    dtype = params["text_emb"].dtype
+    BKT = kc.shape[-1]
+
+    def audio_embed(tok, pos_a):
+        e = jnp.take(params["audio_emb"], tok, axis=0)
+        pos_emb = jnp.take(params["audio_pos"], pos_a, axis=0, mode="clip")
+        return e + pos_emb
+
+    def step(carry, i):
+        tok, kc, vc, pos, history, hist_len, key, done = carry
+        audio_pos = hist_len + 1  # +1: start token occupies audio pos 0
+        x = audio_embed(tok, audio_pos).astype(jnp.float32)  # (B, D)
+        col = jax.lax.broadcasted_iota(jnp.int32, (batch, BKT), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (batch, BKT), 0)
+        sel = ((col // batch < pos) & (col % batch == row)).astype(
+            jnp.float32
+        )
+        xh, kc, vc = step_fn(packed, x, kc, vc, sel, pos)
+        # GPT2 ln_f + XTTS final_norm run in XLA (one-row epilogue), with
+        # the XLA path's exact dtype staging (bf16 between the two LNs)
+        h1 = _ln(xh.astype(dtype), params["gpt_lnf_g"], params["gpt_lnf_b"])
+        hidden = _ln(h1, params["lnf_g"], params["lnf_b"])
+        logits = (hidden @ params["head_w"] + params["head_b"]).astype(
+            jnp.float32
+        )
+        v = logits.shape[-1]
+        stop_blocked = hist_len < min_tokens
+        logits = jnp.where(
+            (jnp.arange(v) == cfg.stop_audio_token)[None] & stop_blocked,
+            -1e30,
+            logits,
+        )
+        key, sub = jax.random.split(key)
+        nxt = _sample_token(
+            logits, history, sub, temperature, top_k, top_p,
+            repetition_penalty, do_sample, cfg,
+        )
+        nxt = jnp.where(done, cfg.stop_audio_token, nxt)
+        done = done | (nxt == cfg.stop_audio_token)
+        history = jax.lax.dynamic_update_index_in_dim(
+            history, nxt, hist_len, axis=1
+        )
+        return (nxt, kc, vc, pos + 1, history, hist_len + 1, key, done), (
+            nxt,
+            hidden,
+        )
+
+    done0 = jnp.zeros((batch,), bool)
+    (tok, kc, vc, pos, history, hist_len, key, done), (tokens, latents) = (
+        jax.lax.scan(
+            step,
+            (last_token, kc, vc, pos, history, hist_len, key, done0),
+            jnp.arange(chunk),
+        )
+    )
+    return (
+        tokens.transpose(1, 0),  # (B, chunk)
+        latents.transpose(1, 0, 2),  # (B, chunk, D)
+        kc,
+        vc,
+        pos,
+        history,
+        hist_len,
+        done,
+    )
+
+
+# --------------------------------------------------------------------------- #
 # Random init
 # --------------------------------------------------------------------------- #
 def random_gpt(cfg: GPTConfig, seed: int = 0, dtype=jnp.bfloat16) -> Dict:

@@ -35,8 +35,10 @@ from wis_tpu.models.xtts.gpt import (
     GPTConfig,
     build_decode_chunk,
     build_prefill,
+    flatten_gpt_cache,
     random_gpt,
     run_decode_chunk,
+    run_decode_chunk_fused,
 )
 from wis_tpu.models.xtts.hifigan import (
     HiFiGANConfig,
@@ -130,6 +132,31 @@ class XTTSModel:
             from wis_tpu.ops.quant import quantize_gpt_params
 
             self.gpt_params = quantize_gpt_params(self.gpt_params)
+        # Fused Pallas GPT decode (ops/fused_gpt.py): all 30 layers per
+        # token in ONE launch with the hand-rolled weight/cache DMA
+        # pipeline — the TPU analog of the DeepSpeed inference kernels
+        # the reference's XTTS container enables (xtts/main.py:25-49).
+        # XTTS_FUSED=1/0 forces; default "auto" = on TPU only (the XLA
+        # scan path remains the CPU/tests path and the fallback).
+        self._fused = self._fused_gpt_enabled()
+        self.gpt_packed = None
+        if self._fused:
+            from wis_tpu.ops.fused_gpt import pack_gpt
+
+            self.gpt_packed = pack_gpt(self.gpt_params, self.cfg.gpt)
+
+    @staticmethod
+    def _fused_gpt_enabled() -> bool:
+        mode = os.environ.get("XTTS_FUSED", "auto").lower()
+        if mode in ("1", "on", "true"):
+            return True
+        if mode in ("0", "off", "false", "none"):
+            return False
+        try:
+            platform = jax.devices()[0].platform
+        except RuntimeError:
+            return False
+        return platform in ("tpu", "axon")
 
     # ------------------------------------------------------------------ #
     def _load_tokenizer(self, model_dir):
@@ -237,6 +264,67 @@ class XTTSModel:
                     return packed, state
 
                 prog = decode_vocode
+            elif kind == "decode_vocode_fused":
+                # decode_vocode with the per-token layer scan replaced by
+                # the fused Pallas step (ops/fused_gpt.py): one kernel
+                # launch per token instead of ~8 XLA kernels per layer.
+                # State carries the kernel-layout flat caches + position.
+                from functools import partial as _partial
+
+                from wis_tpu.ops.fused_gpt import build_fused_gpt_step
+
+                chunk = kw["chunk"]
+                t_pad = kw["t_pad"]
+                left = self.cfg.left_context_frames
+                voc_cfg = self.cfg.vocoder
+                step_fn = build_fused_gpt_step(g, bk=1, t_cache=t_pad)
+                run = _partial(
+                    run_decode_chunk_fused, cfg=g, chunk=chunk, batch=1
+                )
+
+                @_partial(jax.jit, donate_argnums=(3, 4))
+                def decode_vocode_fused(
+                    params, packed, voc_params, kc, vc, pos, ctx, last,
+                    history, hist_len, speaker, key, t_, tk, tp, rp, ds, mt,
+                ):
+                    key, sub = jax.random.split(key)
+                    tokens, latents, kc, vc, pos, history, hist_len, done = (
+                        run(
+                            params, packed, step_fn, last, kc, vc, pos,
+                            history, hist_len, sub, t_, tk, tp, rp, ds, mt,
+                        )
+                    )
+                    voc_in = jnp.concatenate(
+                        [ctx, latents], axis=1
+                    ).astype(speaker.dtype)
+                    wav = hifigan_forward(voc_params, voc_in, speaker, voc_cfg)
+                    new_ctx = latents[:, -left:]
+                    is_stop = tokens[0] == g.stop_audio_token
+                    valid = jnp.where(
+                        is_stop.any(), jnp.argmax(is_stop), jnp.int32(chunk)
+                    )
+                    packed_out = jnp.concatenate(
+                        [
+                            wav[0].astype(jnp.float32),
+                            valid.astype(jnp.float32)[None],
+                            done[0].astype(jnp.float32)[None],
+                        ]
+                    )
+                    state = (
+                        new_ctx, kc, vc, pos, tokens[:, -1], history,
+                        hist_len, key,
+                    )
+                    return packed_out, state
+
+                prog = decode_vocode_fused
+            elif kind == "flatten":
+                t_pad = kw["t_pad"]
+
+                @jax.jit
+                def flatten(cache):
+                    return flatten_gpt_cache(cache, t_pad)
+
+                prog = flatten
             elif kind == "vocoder":
                 frames = kw["frames"]
 
@@ -361,7 +449,15 @@ class XTTSModel:
         speaker = np.asarray(speaker_embedding, np.float32).reshape(1, -1)
 
         prefill = self._program("prefill", text_len=bucket)
-        decode = self._program("decode_vocode", chunk=stream_chunk_size)
+        fused = bool(self._fused and self.gpt_packed is not None)
+        if fused:
+            max_len = self.cfg.cond_len + bucket + 1 + g.max_audio_tokens
+            t_pad = ((max_len + 127) // 128) * 128
+            decode = self._program(
+                "decode_vocode_fused", chunk=stream_chunk_size, t_pad=t_pad
+            )
+        else:
+            decode = self._program("decode_vocode", chunk=stream_chunk_size)
 
         _, cache = prefill(
             self.gpt_params, jnp.asarray(cond, self.dtype), jnp.asarray(text_pad[None])
@@ -373,16 +469,26 @@ class XTTSModel:
         ds = jnp.bool_(do_sample)
         mt = jnp.int32(min_audio_tokens)
         speaker_dev = jnp.asarray(speaker, self.dtype)
-        state = (
-            jnp.zeros((1, self.cfg.left_context_frames, g.d_model), self.dtype),
-            cache,
-            jnp.full((1,), g.start_audio_token, jnp.int32),
-            jnp.zeros((1, g.max_audio_tokens), jnp.int32),
-            jnp.int32(0),
-            jax.random.PRNGKey(seed),
+        ctx0 = jnp.zeros(
+            (1, self.cfg.left_context_frames, g.d_model), self.dtype
         )
+        last0 = jnp.full((1,), g.start_audio_token, jnp.int32)
+        history0 = jnp.zeros((1, g.max_audio_tokens), jnp.int32)
+        key0 = jax.random.PRNGKey(seed)
+        if fused:
+            kc, vc = self._program("flatten", t_pad=t_pad)(cache)
+            state = (ctx0, kc, vc, cache.pos, last0, history0, jnp.int32(0), key0)
+        else:
+            state = (ctx0, cache, last0, history0, jnp.int32(0), key0)
 
         def launch(st):
+            if fused:
+                ctx, kc, vc, pos, last, history, hist_len, key = st
+                return decode(
+                    self.gpt_params, self.gpt_packed, vocoder_params,
+                    kc, vc, pos, ctx, last, history, hist_len,
+                    speaker_dev, key, t_, tk, tp, rp, ds, mt,
+                )
             ctx, cache, last, history, hist_len, key = st
             return decode(
                 self.gpt_params, vocoder_params, ctx, cache, last, history,
