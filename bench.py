@@ -1,9 +1,12 @@
 """Driver benchmark — whisper realtime multiples across the reference's
 published table (BASELINE.md / reference README.md:69-103).
 
-Prints one JSON line per config, HEADLINE FIRST (drivers that read a
-single line get the headline row; the full set makes the BENCH.md
-cross-config table driver-audited):
+Prints one compact JSON line per config, HEADLINE FIRST, then a final
+summary line `{"metric": <headline metric>, "value": ..., "rows": [...]}`
+so BOTH capture styles work: a driver that parses the LAST line gets the
+headline metric/value/vs_baseline (plus every row in `rows`), and one
+that reads a bounded tail still sees whole rows (each row stays well
+under 250 chars; raw per-run timings go to stderr, never stdout):
 
   1. large-v2 beam-5, 3.84 s  — vs RTX 4090 27x   (the headline row)
   2. large-v2 beam-5, 10.7 s  — vs H100 20x       (best published)
@@ -44,6 +47,51 @@ import numpy as np
 
 RUNS = 10
 WARMUP = 2
+
+#: every emitted row, in print order (headline first) — replayed in the
+#: final summary line so a last-line parse carries the whole table
+_ROWS: list[dict] = []
+
+
+def _emit(row: dict, raw: dict | None = None) -> None:
+    """Print one compact row to stdout and stash it for the summary.
+
+    Per-run timing arrays and other bulky diagnostics go to stderr only:
+    the driver captures a bounded stdout tail, and round 3 proved that
+    ~200-char `all_ms` arrays push the headline row out of the capture
+    window (VERDICT round 3, Weak #1)."""
+    _ROWS.append(row)
+    print(json.dumps(row), flush=True)
+    if raw:
+        print(json.dumps({"metric": row["metric"], **raw}), file=sys.stderr, flush=True)
+
+
+def _summary() -> None:
+    """Final line = headline metric/value/vs_baseline + every row, compact.
+    A driver that parses only the LAST stdout line gets the headline
+    number; `rows` carries the full table in <800 chars."""
+    if not _ROWS:
+        return
+    head = _ROWS[0]
+    print(
+        json.dumps(
+            {
+                "metric": head["metric"],
+                "value": head["value"],
+                "unit": head["unit"],
+                "vs_baseline": head["vs_baseline"],
+                "rows": [
+                    {
+                        "metric": r["metric"],
+                        "value": r["value"],
+                        "vs_baseline": r["vs_baseline"],
+                    }
+                    for r in _ROWS
+                ],
+            }
+        ),
+        flush=True,
+    )
 
 
 @contextlib.contextmanager
@@ -145,20 +193,17 @@ def _throughput_row(engines) -> None:
     med = statistics.median(times)
     req_s = 4.0 / med
     base = 1.0 / 0.140
-    print(
-        json.dumps(
-            {
-                "metric": "large-v2_beam5_batch4_throughput_req_s",
-                "value": round(req_s, 2),
-                "unit": "req_s",
-                "vs_baseline": round(req_s / base, 3),
-                "baseline": "7.14 req/s serial RTX4090 (140 ms/req)",
-                "p50_batch_ms": round(med * 1000, 1),
-                "all_ms": [round(t * 1000, 1) for t in times],
-                "token_budget": 32,
-            }
-        ),
-        flush=True,
+    _emit(
+        {
+            "metric": "large-v2_beam5_batch4_throughput_req_s",
+            "value": round(req_s, 2),
+            "unit": "req_s",
+            "vs_baseline": round(req_s / base, 3),
+            "baseline": "7.14 req/s serial RTX4090 (140 ms/req)",
+            "p50_batch_ms": round(med * 1000, 1),
+            "token_budget": 32,
+        },
+        raw={"all_ms": [round(t * 1000, 1) for t in times]},
     )
 
 
@@ -214,21 +259,18 @@ def _longform_row() -> None:
             times.append((time.perf_counter() - t0) * 1000)
     p50 = stats.median(times)
     speedup = audio_ms / p50
-    print(
-        json.dumps(
-            {
-                "metric": "base_beam1_180s_realtime_x",
-                "value": round(speedup, 2),
-                "unit": "x_realtime",
-                "vs_baseline": round(speedup / 648.0, 3),
-                "baseline": "648x RTX4090 (277 ms / 180 s, ref README.md:93)",
-                "p50_infer_ms": round(p50, 1),
-                "all_ms": [round(t, 1) for t in times],
-                "token_budget_per_window": budget,
-                "windows": 13,
-            }
-        ),
-        flush=True,
+    _emit(
+        {
+            "metric": "base_beam1_180s_realtime_x",
+            "value": round(speedup, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(speedup / 648.0, 3),
+            "baseline": "648x RTX4090 (277 ms / 180 s)",
+            "p50_infer_ms": round(p50, 1),
+            "token_budget_per_window": budget,
+            "windows": 13,
+        },
+        raw={"all_ms": [round(t, 1) for t in times]},
     )
 
 
@@ -288,21 +330,18 @@ def _tts_row() -> None:
                 ttfbs.append(ttfb)
                 rtfs.append(audio_s / wall)
     rtf = stats.median(rtfs) if rtfs else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "xtts_stream_rtf",
-                "value": round(rtf, 3),
-                "unit": "audio_s_per_wall_s",
-                "vs_baseline": round(rtf / 1.0, 3),
-                "baseline": "1.0 realtime streaming bar (no published ref RTF)",
-                "ttfb_p50_ms": round(stats.median(ttfbs), 1) if ttfbs else None,
-                "stream_chunk_size": 20,
-                "min_audio_tokens": 140,
-                "all_rtf": [round(r, 3) for r in rtfs],
-            }
-        ),
-        flush=True,
+    _emit(
+        {
+            "metric": "xtts_stream_rtf",
+            "value": round(rtf, 3),
+            "unit": "audio_s_per_wall_s",
+            "vs_baseline": round(rtf / 1.0, 3),
+            "baseline": "1.0 realtime bar (no published ref RTF)",
+            "ttfb_p50_ms": round(stats.median(ttfbs), 1) if ttfbs else None,
+            "stream_chunk_size": 20,
+            "min_audio_tokens": 140,
+        },
+        raw={"all_rtf": [round(r, 3) for r in rtfs]},
     )
 
 
@@ -327,25 +366,23 @@ def main() -> None:
                 times.append(res.infer_time_ms)
         p50 = statistics.median(times)
         speedup = audio_ms / p50
-        print(
-            json.dumps(
-                {
-                    "metric": metric,
-                    "value": round(speedup, 2),
-                    "unit": "x_realtime",
-                    "vs_baseline": round(speedup / base_x, 3),
-                    "baseline": f"{base_x}x {base_hw}",
-                    "p50_infer_ms": round(p50, 1),
-                    "all_ms": [round(t, 1) for t in times],
-                    "token_budget": budget,
-                }
-            ),
-            flush=True,
+        _emit(
+            {
+                "metric": metric,
+                "value": round(speedup, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(speedup / base_x, 3),
+                "baseline": f"{base_x}x {base_hw}",
+                "p50_infer_ms": round(p50, 1),
+                "token_budget": budget,
+            },
+            raw={"all_ms": [round(t, 1) for t in times]},
         )
 
     _throughput_row(engines)
     _longform_row()
     _tts_row()
+    _summary()
 
 
 if __name__ == "__main__":

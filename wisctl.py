@@ -236,6 +236,48 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_check_edge(args) -> int:
+    """Structural `nginx -t` + `docker compose config` equivalent for the
+    checked-in edge configs (wis_tpu/utils/edgecheck.py)."""
+    import glob
+
+    from wis_tpu.utils.edgecheck import (
+        check_compose,
+        check_nginx_conf,
+        parse,
+        render_auth_template,
+        validate,
+    )
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    failures = 0
+
+    def report(label, problems):
+        nonlocal failures
+        if problems:
+            failures += 1
+            print(f"FAIL {label}")
+            for prob in problems:
+                print(f"  {prob}")
+        else:
+            print(f"ok   {label}")
+
+    report("nginx/nginx.conf", check_nginx_conf(os.path.join(root, "nginx/nginx.conf")))
+    with open(os.path.join(root, "nginx/auth.conf.template")) as f:
+        report(
+            "nginx/auth.conf.template",
+            validate(parse(render_auth_template(f.read(), API_KEY="k")), context="http"),
+        )
+    with open(os.path.join(root, "nginx/auth-basic.conf.template")) as f:
+        report(
+            "nginx/auth-basic.conf.template",
+            validate(parse(render_auth_template(f.read(), AUTH_BASIC="off")), context="server"),
+        )
+    for comp in sorted(glob.glob(os.path.join(root, "docker-compose*.yml"))):
+        report(os.path.basename(comp), check_compose(comp, root))
+    return 1 if failures else 0
+
+
 def cmd_check(args) -> int:
     import jax
 
@@ -311,6 +353,9 @@ def main(argv=None) -> int:
 
     ck = sub.add_parser("check", help="environment diagnostic")
     ck.set_defaults(fn=cmd_check)
+
+    ce = sub.add_parser("check-edge", help="validate nginx + compose configs")
+    ce.set_defaults(fn=cmd_check_edge)
 
     args = p.parse_args(argv)
     return args.fn(args)
