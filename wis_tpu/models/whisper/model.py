@@ -120,7 +120,12 @@ def _attn_block(x, blk, layer, n_heads, mask=None, kv=None):
 
 
 def _mlp(x, blk):
-    h = jax.nn.gelu(_linear(x, blk["w1"], blk["b1"]), approximate=False)
+    # tanh-form near-exact gelu (ops/gelu.py): max |err| 1.3e-5 vs erf —
+    # 150× inside the HF-parity tolerance, ~2 ms cheaper per large-v2
+    # encoder pass than XLA's erf lowering (probe_encoder_variants)
+    from wis_tpu.ops.gelu import gelu
+
+    h = gelu(_linear(x, blk["w1"], blk["b1"]))
     return _linear(h, blk["w2"], blk["b2"])
 
 
@@ -140,29 +145,49 @@ def _conv1d(x, w, b, stride):
     return (y + b).astype(x.dtype)
 
 
+def _enc_ln(x, g, b):
+    """Encoder LayerNorm: the single-pass Pallas kernel on TPU (bf16
+    in/out, f32 statistics — ops/layernorm.py), XLA elsewhere. 65
+    instances per large-v2 pass cost ≈3.4 ms through XLA
+    (probe_encoder_variants noln ablation)."""
+    import os
+
+    if (
+        x.shape[-1] % 128 == 0
+        and jax.default_backend() not in ("cpu",)
+        and not os.environ.get("WIS_NO_LN_KERNEL")
+    ):
+        from wis_tpu.ops.layernorm import layer_norm_pallas
+
+        return layer_norm_pallas(x, g, b)
+    return layer_norm(x, g, b)
+
+
 def encode(params: dict, mel: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
-    """mel (B, n_mels, 3000) → encoder states (B, 1500, D)."""
+    """mel (B, n_mels, 3000) → encoder states (B, 1500, D).
+
+    The conv stem runs as im2col-by-reshape matmuls (stem.py) — the
+    lax.conv lowering measured 0.69 vs 0.39 ms (probe_stem_ln.py)."""
+    from wis_tpu.models.whisper.stem import conv_stem
+
     enc = params["encoder"]
-    x = mel.swapaxes(-1, -2).astype(enc["conv1"]["w"].dtype)  # (B, 3000, n_mels)
-    x = jax.nn.gelu(_conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"], 1), approximate=False)
-    x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2), approximate=False)
-    x = x + enc["pos"].astype(x.dtype)
+    x = conv_stem(enc, mel)
 
     def block(x, blk):
         x = x + _attn_block(
-            layer_norm(x, blk["attn_ln"]["g"], blk["attn_ln"]["b"]),
+            _enc_ln(x, blk["attn_ln"]["g"], blk["attn_ln"]["b"]),
             blk["attn"],
             None,
             cfg.n_audio_head,
         )
-        x = x + _mlp(layer_norm(x, blk["mlp_ln"]["g"], blk["mlp_ln"]["b"]), blk["mlp"])
+        x = x + _mlp(_enc_ln(x, blk["mlp_ln"]["g"], blk["mlp_ln"]["b"]), blk["mlp"])
         return x, None
 
     import os
 
     unroll = int(os.environ.get("WIS_ENC_UNROLL", "1"))
     x, _ = jax.lax.scan(block, x, enc["blocks"], unroll=unroll)
-    return layer_norm(x, enc["ln_post"]["g"], enc["ln_post"]["b"])
+    return _enc_ln(x, enc["ln_post"]["g"], enc["ln_post"]["b"])
 
 
 def cross_kv(params: dict, xa: jnp.ndarray, cfg: WhisperConfig):

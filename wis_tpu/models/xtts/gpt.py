@@ -323,13 +323,17 @@ def build_decode_chunk(cfg: GPTConfig, batch: int, chunk: int, max_len: int):
 def flatten_gpt_cache(cache: GPTCache, t_pad: int):
     """GPTCache (L, B, H, T, Dh) → the fused kernel's flat TIME-MAJOR
     (L, D, t_pad*B) bf16 layout (flat column = t*B + row, heads merged
-    into D), zero-padded from T to the lane-aligned t_pad."""
+    into D), zero-padded — or truncated, when a cache-length bucket
+    smaller than the prefill cache's T is selected; only the prefix
+    (≤ t_pad by bucket construction) holds data — to the lane-aligned
+    t_pad."""
     L, B, H, T, Dh = cache.k.shape
+    keep = min(T, t_pad)
 
     def fl(c):
         flat = c.transpose(0, 2, 4, 3, 1).reshape(L, H * Dh, T * B)
         return jnp.pad(
-            flat, ((0, 0), (0, 0), (0, (t_pad - T) * B))
+            flat[:, :, : keep * B], ((0, 0), (0, 0), (0, (t_pad - keep) * B))
         ).astype(jnp.bfloat16)
 
     return fl(cache.k), fl(cache.v)
@@ -352,17 +356,40 @@ def run_decode_chunk_fused(
     repetition_penalty,
     do_sample,
     min_tokens=0,
+    head_packed=None,  # (ln4, head_w, head_b) from fused_gpt_head.pack_head
     *,
     cfg: GPTConfig,
     chunk: int,
     batch: int,
+    head_fn=None,  # ops.fused_gpt_head.build_fused_gpt_head(...) closure
 ):
     """run_decode_chunk with the 30-layer scan replaced by the fused
     Pallas step (all layers, one launch, in-place aliased cache). Same
     sampling staging and PRNG order, so given equal logits the emitted
-    tokens match the XLA path (equality-tested in test_fused_gpt.py)."""
+    tokens match the XLA path (equality-tested in test_fused_gpt.py).
+
+    With `head_fn`/`head_packed` (batch 1 only), the whole per-token
+    epilogue — double LN, audio head, stop floor, repetition penalty,
+    temperature, top-k/top-p, categorical draw — runs in a second Pallas
+    launch (ops/fused_gpt_head.py). The repetition penalty then reads a
+    carried (1, V_pad) hit-mask initialized from `history` at chunk
+    entry and updated incrementally — identical masking to
+    _mask_logits' per-step one-hot, ~620k fewer one-hot elements per
+    token (kernel-vs-epilogue equality in test_fused_gpt_head.py)."""
     dtype = params["text_emb"].dtype
     BKT = kc.shape[-1]
+    if head_fn is not None:
+        assert batch == 1, "fused sampling head is single-stream (bk=1)"
+        from wis_tpu.ops.fused_gpt_head import v_padded
+
+        v = cfg.n_audio_vocab
+        vp = v_padded(v)
+        ln4, head_w, head_b = head_packed
+        hist_mask0 = (
+            jax.nn.one_hot(history, vp, dtype=jnp.float32).sum(axis=1) > 0
+        ).astype(jnp.float32)
+    else:
+        hist_mask0 = jnp.zeros((batch, 1), jnp.float32)  # inert carry
 
     def audio_embed(tok, pos_a):
         e = jnp.take(params["audio_emb"], tok, axis=0)
@@ -370,7 +397,7 @@ def run_decode_chunk_fused(
         return e + pos_emb
 
     def step(carry, i):
-        tok, kc, vc, pos, history, hist_len, key, done = carry
+        tok, kc, vc, pos, history, hist_mask, hist_len, key, done = carry
         audio_pos = hist_len + 1  # +1: start token occupies audio pos 0
         x = audio_embed(tok, audio_pos).astype(jnp.float32)  # (B, D)
         col = jax.lax.broadcasted_iota(jnp.int32, (batch, BKT), 1)
@@ -379,40 +406,66 @@ def run_decode_chunk_fused(
             jnp.float32
         )
         xh, kc, vc = step_fn(packed, x, kc, vc, sel, pos)
-        # GPT2 ln_f + XTTS final_norm run in XLA (one-row epilogue), with
-        # the XLA path's exact dtype staging (bf16 between the two LNs)
-        h1 = _ln(xh.astype(dtype), params["gpt_lnf_g"], params["gpt_lnf_b"])
-        hidden = _ln(h1, params["lnf_g"], params["lnf_b"])
-        logits = (hidden @ params["head_w"] + params["head_b"]).astype(
-            jnp.float32
-        )
-        v = logits.shape[-1]
-        stop_blocked = hist_len < min_tokens
-        logits = jnp.where(
-            (jnp.arange(v) == cfg.stop_audio_token)[None] & stop_blocked,
-            -1e30,
-            logits,
-        )
         key, sub = jax.random.split(key)
-        nxt = _sample_token(
-            logits, history, sub, temperature, top_k, top_p,
-            repetition_penalty, do_sample, cfg,
-        )
+        stop_blocked = hist_len < min_tokens
+        if head_fn is not None:
+            gum = jnp.pad(
+                jax.random.gumbel(sub, (1, v), jnp.float32),
+                ((0, 0), (0, vp - v)),
+            )
+            knobs = jnp.stack(
+                [
+                    jnp.float32(temperature),
+                    top_k.astype(jnp.float32),
+                    jnp.float32(top_p),
+                    jnp.float32(repetition_penalty),
+                    stop_blocked.astype(jnp.float32),
+                    do_sample.astype(jnp.float32),
+                    jnp.float32(0.0),
+                    jnp.float32(0.0),
+                ]
+            ).reshape(1, 8)
+            tok_out, hidden32, _ = head_fn(
+                xh, ln4, head_w, head_b, hist_mask, gum, knobs
+            )
+            hidden = hidden32.astype(dtype)
+            nxt = tok_out[:, 0]
+        else:
+            # GPT2 ln_f + XTTS final_norm in XLA (one-row epilogue), with
+            # the XLA path's exact dtype staging (bf16 between the LNs)
+            h1 = _ln(xh.astype(dtype), params["gpt_lnf_g"], params["gpt_lnf_b"])
+            hidden = _ln(h1, params["lnf_g"], params["lnf_b"])
+            logits = (hidden @ params["head_w"] + params["head_b"]).astype(
+                jnp.float32
+            )
+            nv = logits.shape[-1]
+            logits = jnp.where(
+                (jnp.arange(nv) == cfg.stop_audio_token)[None] & stop_blocked,
+                -1e30,
+                logits,
+            )
+            nxt = _sample_token(
+                logits, history, sub, temperature, top_k, top_p,
+                repetition_penalty, do_sample, cfg,
+            )
         nxt = jnp.where(done, cfg.stop_audio_token, nxt)
         done = done | (nxt == cfg.stop_audio_token)
         history = jax.lax.dynamic_update_index_in_dim(
             history, nxt, hist_len, axis=1
         )
-        return (nxt, kc, vc, pos + 1, history, hist_len + 1, key, done), (
-            nxt,
-            hidden,
-        )
+        if head_fn is not None:
+            hist_mask = jnp.maximum(
+                hist_mask, jax.nn.one_hot(nxt, vp, dtype=jnp.float32)
+            )
+        return (
+            nxt, kc, vc, pos + 1, history, hist_mask, hist_len + 1, key, done
+        ), (nxt, hidden)
 
     done0 = jnp.zeros((batch,), bool)
-    (tok, kc, vc, pos, history, hist_len, key, done), (tokens, latents) = (
+    (tok, kc, vc, pos, history, _, hist_len, key, done), (tokens, latents) = (
         jax.lax.scan(
             step,
-            (last_token, kc, vc, pos, history, hist_len, key, done0),
+            (last_token, kc, vc, pos, history, hist_mask0, hist_len, key, done0),
             jnp.arange(chunk),
         )
     )

@@ -62,6 +62,14 @@ class XTTSConfig:
     text_buckets: tuple = (32, 64, 128, 256, 400)
     cond_len: int = 32
     left_context_frames: int = 2  # vocoder left context per chunk
+    #: fused-GPT KV slab length buckets (t_pad candidates, lane-aligned).
+    #: The fused step streams the FULL t_pad-wide slabs every token
+    #: (~189 MB/token at 768) regardless of fill; short utterances run in
+    #: the smallest slab that holds them and the cache grows (one padded
+    #: device copy, host-predicted — pos advances exactly `chunk` per
+    #: dispatch) only when the next chunk would overflow. Analogous to
+    #: the ASR decode-length buckets (runtime/engine.py).
+    gpt_cache_buckets: tuple = (256, 512)
 
 
 class XTTSModel:
@@ -140,10 +148,15 @@ class XTTSModel:
         # scan path remains the CPU/tests path and the fallback).
         self._fused = self._fused_gpt_enabled()
         self.gpt_packed = None
+        self.gpt_head_packed = None
         if self._fused:
             from wis_tpu.ops.fused_gpt import pack_gpt
+            from wis_tpu.ops.fused_gpt_head import pack_head
 
             self.gpt_packed = pack_gpt(self.gpt_params, self.cfg.gpt)
+            self.gpt_head_packed = pack_head(
+                self.gpt_params, self.cfg.gpt, self.dtype
+            )
 
     @staticmethod
     def _fused_gpt_enabled() -> bool:
@@ -272,26 +285,39 @@ class XTTSModel:
                 from functools import partial as _partial
 
                 from wis_tpu.ops.fused_gpt import build_fused_gpt_step
+                from wis_tpu.ops.fused_gpt_head import build_fused_gpt_head
 
                 chunk = kw["chunk"]
                 t_pad = kw["t_pad"]
                 left = self.cfg.left_context_frames
                 voc_cfg = self.cfg.vocoder
                 step_fn = build_fused_gpt_step(g, bk=1, t_cache=t_pad)
+                # second Pallas launch per token: the whole sampling
+                # epilogue (double LN + head + penalty + top-k/p + draw);
+                # XTTS_FUSED_HEAD=0 falls back to the XLA epilogue
+                head_on = os.environ.get("XTTS_FUSED_HEAD", "1").lower() not in (
+                    "0", "off", "false", "none",
+                )
+                head_fn = (
+                    build_fused_gpt_head(g, dtype=self.dtype) if head_on else None
+                )
                 run = _partial(
-                    run_decode_chunk_fused, cfg=g, chunk=chunk, batch=1
+                    run_decode_chunk_fused, cfg=g, chunk=chunk, batch=1,
+                    head_fn=head_fn,
                 )
 
-                @_partial(jax.jit, donate_argnums=(3, 4))
+                @_partial(jax.jit, donate_argnums=(4, 5))
                 def decode_vocode_fused(
-                    params, packed, voc_params, kc, vc, pos, ctx, last,
-                    history, hist_len, speaker, key, t_, tk, tp, rp, ds, mt,
+                    params, packed, head_packed, voc_params, kc, vc, pos,
+                    ctx, last, history, hist_len, speaker, key, t_, tk, tp,
+                    rp, ds, mt,
                 ):
                     key, sub = jax.random.split(key)
                     tokens, latents, kc, vc, pos, history, hist_len, done = (
                         run(
                             params, packed, step_fn, last, kc, vc, pos,
                             history, hist_len, sub, t_, tk, tp, rp, ds, mt,
+                            head_packed,
                         )
                     )
                     voc_in = jnp.concatenate(
@@ -325,6 +351,21 @@ class XTTSModel:
                     return flatten_gpt_cache(cache, t_pad)
 
                 prog = flatten
+            elif kind == "grow":
+                # KV slab growth between cache-length buckets: one padded
+                # device copy (~0.05 ms at 256→512), pipelined like any
+                # other chunk dispatch
+                from functools import partial as _partial
+
+                t_from, t_to = kw["t_from"], kw["t_to"]
+                assert t_to > t_from
+
+                @_partial(jax.jit, donate_argnums=(0, 1))
+                def grow(kc, vc):
+                    pad = ((0, 0), (0, 0), (0, t_to - t_from))
+                    return jnp.pad(kc, pad), jnp.pad(vc, pad)
+
+                prog = grow
             elif kind == "vocoder":
                 frames = kw["frames"]
 
@@ -452,10 +493,22 @@ class XTTSModel:
         fused = bool(self._fused and self.gpt_packed is not None)
         if fused:
             max_len = self.cfg.cond_len + bucket + 1 + g.max_audio_tokens
-            t_pad = ((max_len + 127) // 128) * 128
-            decode = self._program(
-                "decode_vocode_fused", chunk=stream_chunk_size, t_pad=t_pad
-            )
+            full_t = ((max_len + 127) // 128) * 128
+            prefix_len = self.cfg.cond_len + bucket + 1
+            # cache-length buckets: start in the smallest slab that holds
+            # the prefix + one chunk, grow on host-predicted boundaries
+            t_buckets = [
+                b for b in sorted(self.cfg.gpt_cache_buckets)
+                if b % 128 == 0 and b < full_t
+            ] + [full_t]
+
+            def t_for(need: int) -> int:
+                for b in t_buckets:
+                    if need <= b:
+                        return b
+                return full_t
+
+            decode = None
         else:
             decode = self._program("decode_vocode", chunk=stream_chunk_size)
 
@@ -476,18 +529,32 @@ class XTTSModel:
         history0 = jnp.zeros((1, g.max_audio_tokens), jnp.int32)
         key0 = jax.random.PRNGKey(seed)
         if fused:
-            kc, vc = self._program("flatten", t_pad=t_pad)(cache)
+            t_cur = t_for(prefix_len + stream_chunk_size)
+            kc, vc = self._program("flatten", t_pad=t_cur)(cache)
             state = (ctx0, kc, vc, cache.pos, last0, history0, jnp.int32(0), key0)
         else:
             state = (ctx0, cache, last0, history0, jnp.int32(0), key0)
+        launched = 0
 
         def launch(st):
+            nonlocal launched, t_cur
+            launched += 1
             if fused:
+                need = prefix_len + stream_chunk_size * launched
                 ctx, kc, vc, pos, last, history, hist_len, key = st
-                return decode(
-                    self.gpt_params, self.gpt_packed, vocoder_params,
-                    kc, vc, pos, ctx, last, history, hist_len,
-                    speaker_dev, key, t_, tk, tp, rp, ds, mt,
+                if need > t_cur:
+                    t_new = t_for(need)
+                    kc, vc = self._program("grow", t_from=t_cur, t_to=t_new)(
+                        kc, vc
+                    )
+                    t_cur = t_new
+                dec = self._program(
+                    "decode_vocode_fused", chunk=stream_chunk_size, t_pad=t_cur
+                )
+                return dec(
+                    self.gpt_params, self.gpt_packed, self.gpt_head_packed,
+                    vocoder_params, kc, vc, pos, ctx, last, history,
+                    hist_len, speaker_dev, key, t_, tk, tp, rp, ds, mt,
                 )
             ctx, cache, last, history, hist_len, key = st
             return decode(
