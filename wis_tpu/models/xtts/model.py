@@ -452,6 +452,7 @@ class XTTSModel:
         gpt_cond_latent: np.ndarray,  # (N_cond, D) or smaller (padded)
         speaker_embedding: np.ndarray,  # (cond_dim,)
         stream_chunk_size: int = 20,
+        first_chunk_size: Optional[int] = None,
         overlap_wav_len: int = 1024,
         temperature: float = 0.1,
         length_penalty: float = 1.0,
@@ -471,7 +472,15 @@ class XTTSModel:
         ne_hifigan exactly like the reference (xtts/main.py:274). Both
         names resolve to the checkpoint's single HiFi-GAN here (Coqui
         model.pth ships one waveform decoder; the reference's split only
-        selected legacy variants)."""
+        selected legacy variants).
+
+        first_chunk_size (default min(8, stream_chunk_size)): the FIRST
+        dispatch decodes fewer tokens so audio starts flowing sooner —
+        time-to-first-byte drops by ~(chunk−first)·per-token-ms while
+        steady-state chunks keep the full stream_chunk_size (an
+        extension over the reference, which holds TTFB until the full
+        first chunk; the `chunk` sampling math is identical for any
+        per-dispatch size)."""
         del length_penalty  # sampling (not beam) decode — kept for API compat
         if decoder not in ("ne_hifigan", "hifigan"):
             decoder = "ne_hifigan"
@@ -508,10 +517,6 @@ class XTTSModel:
                         return b
                 return full_t
 
-            decode = None
-        else:
-            decode = self._program("decode_vocode", chunk=stream_chunk_size)
-
         _, cache = prefill(
             self.gpt_params, jnp.asarray(cond, self.dtype), jnp.asarray(text_pad[None])
         )
@@ -528,8 +533,19 @@ class XTTSModel:
         last0 = jnp.full((1,), g.start_audio_token, jnp.int32)
         history0 = jnp.zeros((1, g.max_audio_tokens), jnp.int32)
         key0 = jax.random.PRNGKey(seed)
+        chunk = stream_chunk_size
+        if first_chunk_size is None:
+            first_chunk_size = min(8, chunk)
+        first_chunk_size = max(1, min(first_chunk_size, chunk))
+        # per-dispatch token counts: a short first chunk for TTFB, then
+        # steady stream_chunk_size chunks up to the audio-token cap
+        sizes = [first_chunk_size]
+        while sum(sizes) + chunk <= g.max_audio_tokens:
+            sizes.append(chunk)
+        max_chunks = len(sizes)
+
         if fused:
-            t_cur = t_for(prefix_len + stream_chunk_size)
+            t_cur = t_for(prefix_len + sizes[0])
             kc, vc = self._program("flatten", t_pad=t_cur)(cache)
             state = (ctx0, kc, vc, cache.pos, last0, history0, jnp.int32(0), key0)
         else:
@@ -538,9 +554,10 @@ class XTTSModel:
 
         def launch(st):
             nonlocal launched, t_cur
+            c_i = sizes[launched]
             launched += 1
             if fused:
-                need = prefix_len + stream_chunk_size * launched
+                need = prefix_len + sum(sizes[:launched])
                 ctx, kc, vc, pos, last, history, hist_len, key = st
                 if need > t_cur:
                     t_new = t_for(need)
@@ -549,7 +566,7 @@ class XTTSModel:
                     )
                     t_cur = t_new
                 dec = self._program(
-                    "decode_vocode_fused", chunk=stream_chunk_size, t_pad=t_cur
+                    "decode_vocode_fused", chunk=c_i, t_pad=t_cur
                 )
                 return dec(
                     self.gpt_params, self.gpt_packed, self.gpt_head_packed,
@@ -557,13 +574,12 @@ class XTTSModel:
                     hist_len, speaker_dev, key, t_, tk, tp, rp, ds, mt,
                 )
             ctx, cache, last, history, hist_len, key = st
-            return decode(
+            return self._program("decode_vocode", chunk=c_i)(
                 self.gpt_params, vocoder_params, ctx, cache, last, history,
                 hist_len, speaker_dev, key, t_, tk, tp, rp, ds, mt,
             )
 
         voc = self.cfg.vocoder
-        chunk = stream_chunk_size
         left = self.cfg.left_context_frames
         # exact aggregate duration: token n's emission boundary in output
         # samples (floor, so per-chunk slices sum to the true length)
@@ -572,7 +588,6 @@ class XTTSModel:
 
         prev_wav_tail: Optional[np.ndarray] = None
         emitted = 0
-        max_chunks = g.max_audio_tokens // chunk
 
         # Pipeline depth 1: chunk i+1 is dispatched BEFORE chunk i's
         # packed result is fetched, so the ~27 ms tunnel fetch of chunk i
@@ -582,6 +597,7 @@ class XTTSModel:
         # utterance, invisible to the caller).
         pending, state = launch(state)
         for i in range(max_chunks):
+            c_i = sizes[i]
             if i + 1 < max_chunks:
                 nxt, state = launch(state)
             else:
@@ -593,13 +609,13 @@ class XTTSModel:
 
             if valid > 0:
                 full = arr[:-2]
-                # the chunk's local wav covers (left + chunk) tokens and
-                # ends exactly at token boundary emitted+chunk; emit the
+                # the chunk's local wav covers (left + c_i) tokens and
+                # ends exactly at token boundary emitted+c_i; emit the
                 # `want` samples ending at the first `valid` new tokens'
                 # boundary (sub-sample boundary jitter from the two
                 # floor-interpolations is absorbed by the crossfade)
                 want = target(emitted + valid) - target(emitted)
-                end = round(len(full) * (left + valid) / (left + chunk))
+                end = round(len(full) * (left + valid) / (left + c_i))
                 wav = full[max(0, end - want): end].copy()
 
                 # crossfade with the previous chunk tail (overlap_wav_len)
@@ -622,7 +638,7 @@ class XTTSModel:
                 emitted += valid
                 yield out.astype(np.float32)
 
-            if done or valid < chunk:
+            if done or valid < c_i:
                 break
 
     def inference_stream_split(

@@ -83,8 +83,8 @@ def build_fused_gpt_head(cfg: GPTConfig, *, dtype=jnp.bfloat16):
     ):
         # ---- double LN + head matmul (XLA-path staging) ----
         xdt = x_ref[:].astype(dtype)
-        h1 = _ln_rows(xdt, ln_ref[0][None, :], ln_ref[1][None, :]).astype(dtype)
-        hidden = _ln_rows(h1, ln_ref[2][None, :], ln_ref[3][None, :]).astype(dtype)
+        h1 = _ln_rows(xdt, ln_ref[0:1], ln_ref[1:2]).astype(dtype)
+        hidden = _ln_rows(h1, ln_ref[2:3], ln_ref[3:4]).astype(dtype)
         hid_out[:] = hidden.astype(jnp.float32)
         dot = jnp.dot(hidden, w_ref[:], preferred_element_type=jnp.float32)
         if is_bf16:
@@ -125,8 +125,8 @@ def build_fused_gpt_head(cfg: GPTConfig, *, dtype=jnp.bfloat16):
 
         # ---- one stats pass: per-token greater-count and tie-aware
         #      prefix mass; running kth-candidate min and kept-count ----
-        kf = jnp.maximum(knobs_ref[0:1, 1:2], 1.0)  # top_k clip ≥ 1
-        p = knobs_ref[0:1, 2:3]
+        kf = jnp.maximum(knobs_ref[0:1, 1:2], 1.0)  # (1,1) top_k clip ≥ 1
+        p = knobs_ref[0:1, 2:3]  # (1,1)
         kth = jnp.full((1, 1), BIG, jnp.float32)
         cnt = jnp.zeros((1, 1), jnp.float32)
         for r in range(nch):
@@ -143,18 +143,18 @@ def build_fused_gpt_head(cfg: GPTConfig, *, dtype=jnp.bfloat16):
                 jnp.where(mgt | tie, pb, 0.0), axis=1, keepdims=True
             )
             cnt = cnt + jnp.sum(
-                (prefix < p[0, 0]).astype(jnp.float32), axis=0, keepdims=True
+                (prefix < p).astype(jnp.float32), axis=0, keepdims=True
             )
-            cand = jnp.where(gt_c <= kf[0, 0] - 1.0, bc, BIG)
+            cand = jnp.where(gt_c <= kf - 1.0, bc, BIG)
             kth = jnp.minimum(kth, jnp.min(cand, axis=0, keepdims=True))
 
         # ---- thresholds → masked logits (sequential masking ≡ the XLA
         #      path: values below kth are NEG before the pth compare) ----
         cntc = jnp.maximum(cnt, 1.0)
-        pth_cand = jnp.where(gt[:] <= cntc[0, 0] - 1.0, lt[:], BIG)
+        pth_cand = jnp.where(gt[:] <= cntc - 1.0, lt[:], BIG)
         pth = jnp.min(pth_cand, axis=0, keepdims=True)  # (1, 1)
-        l = jnp.where(l < kth[0, 0], NEG, l)
-        l = jnp.where(l < pth[0, 0], NEG, l)
+        l = jnp.where(l < kth, NEG, l)
+        l = jnp.where(l < pth, NEG, l)
         log_out[:] = l
 
         # ---- draw: argmax(l + gumbel) vs greedy argmax, lowest index ----
@@ -167,7 +167,8 @@ def build_fused_gpt_head(cfg: GPTConfig, *, dtype=jnp.bfloat16):
         idx_s = argmax_row(l + gum_ref[:])
         idx_g = argmax_row(l)
         ds = knobs_ref[0:1, 5:6]
-        tok_out[0, 0] = jnp.where(ds[0, 0] > 0, idx_s[0, 0], idx_g[0, 0])
+        # (1,1) store — Mosaic rejects scalar stores to VMEM
+        tok_out[:, :] = jnp.where(ds > 0, idx_s, idx_g).astype(jnp.int32)
 
     call = pl.pallas_call(
         kernel,

@@ -109,6 +109,8 @@ class InferenceExecutor:
 
     # ------------------------------------------------------------------ #
     def _worker(self) -> None:
+        import time
+
         max_batch = self.settings.batch_bucket_list()[-1]
         while True:
             req = self._queue.get()
@@ -116,22 +118,45 @@ class InferenceExecutor:
                 return
             batch = [req]
             if not req.is_long():
-                # coalesce compatible short requests within the window
-                deadline = self.settings.batch_window_s
                 key = req.batch_key(self.settings)
-                while len(batch) < max_batch:
-                    try:
-                        nxt = self._queue.get(timeout=deadline)
-                    except queue.Empty:
-                        break
-                    if nxt is None:
-                        self._run(batch)
-                        return
-                    if nxt.is_long() or nxt.batch_key(self.settings) != key:
-                        # incompatible: run what we have, requeue the new one
-                        self._queue.put(nxt)
-                        break
-                    batch.append(nxt)
+                stop = False
+
+                def drain(block_until: float | None) -> bool:
+                    """Pull compatible requests into `batch`; returns True
+                    on shutdown sentinel. block_until=None → non-blocking."""
+                    nonlocal stop
+                    while len(batch) < max_batch:
+                        try:
+                            if block_until is None:
+                                nxt = self._queue.get_nowait()
+                            else:
+                                tmo = block_until - time.monotonic()
+                                if tmo <= 0:
+                                    return False
+                                nxt = self._queue.get(timeout=tmo)
+                        except queue.Empty:
+                            return False
+                        if nxt is None:
+                            stop = True
+                            return True
+                        if nxt.is_long() or nxt.batch_key(self.settings) != key:
+                            # incompatible: run what we have, requeue it
+                            self._queue.put(nxt)
+                            return True
+                        batch.append(nxt)
+                    return True
+
+                # 1) requests that queued while the device was busy join
+                #    the NEXT dispatch immediately — no window wait for a
+                #    request that has already been waiting
+                full = drain(None)
+                # 2) only an idle-arrival singleton lingers (one absolute
+                #    batch_window_s) for near-simultaneous arrivals
+                if not full and len(batch) == 1:
+                    drain(time.monotonic() + self.settings.batch_window_s)
+                if stop:
+                    self._run(batch)
+                    return
             self._run(batch)
 
     def _run(self, batch: List[ASRRequest]) -> None:
