@@ -99,3 +99,51 @@ rtt = 26.0  # measured tunnel round-trip (docs/NEXT.md)
 print(f"bare kernel scan: {b:.1f} ms/chunk ({(b - rtt) / CHUNK:.2f} ms/tok on-device)  {[round(t,1) for t in ts_b]}")
 print(f"full chunk body:  {f:.1f} ms/chunk ({(f - rtt) / CHUNK:.2f} ms/tok on-device)  {[round(t,1) for t in ts_f]}")
 print(f"epilogue share:   {(f - b) / CHUNK:.2f} ms/tok")
+
+
+# ---- round-4 variants: fused sampling head + cache-length buckets ---- #
+from wis_tpu.ops.fused_gpt_head import build_fused_gpt_head, pack_head
+
+head_fn = build_fused_gpt_head(cfg, dtype=jnp.bfloat16)
+head_packed = pack_head(params, cfg, jnp.bfloat16)
+
+
+@jax.jit
+def full_head(params, packed, head_packed, kc, vc, pos0):
+    tokens, *_ = run_decode_chunk_fused(
+        params, packed, step_fn,
+        jnp.full((1,), cfg.start_audio_token, jnp.int32),
+        kc, vc, pos0,
+        jnp.zeros((1, cfg.max_audio_tokens), jnp.int32), jnp.int32(0),
+        jax.random.PRNGKey(0), jnp.float32(0.8), jnp.int32(50),
+        jnp.float32(0.85), jnp.float32(2.0), jnp.bool_(True),
+        jnp.int32(CHUNK), head_packed,
+        cfg=cfg, chunk=CHUNK, batch=1, head_fn=head_fn,
+    )
+    return tokens
+
+
+T_SMALL = 256
+step_small = build_fused_gpt_step(cfg, bk=1, t_cache=T_SMALL)
+kc_s, vc_s = jax.jit(lambda c: flatten_gpt_cache(c, T_SMALL))(cache)
+
+
+@jax.jit
+def full_head_small(params, packed, head_packed, kc, vc, pos0):
+    tokens, *_ = run_decode_chunk_fused(
+        params, packed, step_small,
+        jnp.full((1,), cfg.start_audio_token, jnp.int32),
+        kc, vc, pos0,
+        jnp.zeros((1, cfg.max_audio_tokens), jnp.int32), jnp.int32(0),
+        jax.random.PRNGKey(0), jnp.float32(0.8), jnp.int32(50),
+        jnp.float32(0.85), jnp.float32(2.0), jnp.bool_(True),
+        jnp.int32(CHUNK), head_packed,
+        cfg=cfg, chunk=CHUNK, batch=1, head_fn=head_fn,
+    )
+    return tokens
+
+
+fh, ts_fh = timeit(full_head, params, packed, head_packed, kc, vc, pos0)
+fs, ts_fs = timeit(full_head_small, params, packed, head_packed, kc_s, vc_s, pos0)
+print(f"full + head kernel @768: {fh:.1f} ms/chunk ({(fh - rtt) / CHUNK:.2f} ms/tok on-device)  {[round(t,1) for t in ts_fh]}")
+print(f"full + head kernel @256: {fs:.1f} ms/chunk ({(fs - rtt) / CHUNK:.2f} ms/tok on-device)  {[round(t,1) for t in ts_fs]}")

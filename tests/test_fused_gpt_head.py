@@ -136,3 +136,55 @@ def test_head_kernel_tie_order_matches_sort():
         np.asarray(masked_k[0, :v]) > -1e29, np.asarray(masked_x[0]) > -1e29
     )
     assert int(tok_k[0, 0]) == int(tok_x[0])
+
+
+def test_head_opt_in_stream_matches_default(monkeypatch):
+    """XTTS_FUSED_HEAD=1 (opt-in kernel epilogue) must produce the same
+    audio stream as the default XLA epilogue — keeps the measured
+    alternative from rotting while it stays off by default
+    (probe_fused_gpt_floor: XLA epilogue 0.05 ms/tok vs kernel 0.14)."""
+    import jax.numpy as jnp
+
+    from wis_tpu.models.xtts.hifigan import HiFiGANConfig
+    from wis_tpu.models.xtts.model import XTTSConfig, XTTSModel
+
+    micro = XTTSConfig(
+        gpt=GPTConfig(
+            n_layer=2, n_head=2, d_model=32, n_text_vocab=256,
+            n_audio_vocab=68, max_text_tokens=32, max_audio_tokens=40,
+            start_audio_token=66, stop_audio_token=67,
+        ),
+        vocoder=HiFiGANConfig(
+            in_dim=32, cond_dim=16, upsample_initial=32,
+            upsample_rates=(4, 2), upsample_kernels=(8, 4),
+            resblock_kernels=(3,), resblock_dilations=((1, 3),),
+            gpt_code_stride=16,
+        ),
+        text_buckets=(8, 16, 32),
+        cond_len=4,
+        left_context_frames=2,
+    )
+    rng = np.random.default_rng(7)
+    latent = rng.standard_normal((4, 32)).astype(np.float32) * 0.1
+    speaker = rng.standard_normal(16).astype(np.float32)
+    kwargs = dict(
+        stream_chunk_size=8, overlap_wav_len=16, do_sample=True, seed=3,
+        min_audio_tokens=16,
+    )
+    monkeypatch.setenv("XTTS_FUSED", "1")
+    monkeypatch.setenv("XTTS_FUSED_HEAD", "0")
+    base = list(
+        XTTSModel(cfg=micro, dtype=jnp.float32).inference_stream(
+            "hello head", "en", latent, speaker, **kwargs
+        )
+    )
+    monkeypatch.setenv("XTTS_FUSED_HEAD", "1")
+    headed = list(
+        XTTSModel(cfg=micro, dtype=jnp.float32).inference_stream(
+            "hello head", "en", latent, speaker, **kwargs
+        )
+    )
+    assert len(base) == len(headed) > 0
+    for a, b in zip(base, headed):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-2)

@@ -292,11 +292,15 @@ class XTTSModel:
                 left = self.cfg.left_context_frames
                 voc_cfg = self.cfg.vocoder
                 step_fn = build_fused_gpt_step(g, bk=1, t_cache=t_pad)
-                # second Pallas launch per token: the whole sampling
-                # epilogue (double LN + head + penalty + top-k/p + draw);
-                # XTTS_FUSED_HEAD=0 falls back to the XLA epilogue
-                head_on = os.environ.get("XTTS_FUSED_HEAD", "1").lower() not in (
-                    "0", "off", "false", "none",
+                # OPT-IN second Pallas launch per token running the whole
+                # sampling epilogue (double LN + head + penalty + top-k/p
+                # + draw). Measured on v5e (probe_fused_gpt_floor):
+                # the XLA epilogue costs only 0.05 ms/token inside the
+                # chunk scan while this kernel costs 0.14 — XLA wins, so
+                # the default is OFF (the int8-Pallas-matmul precedent:
+                # validated, kept as the measured alternative).
+                head_on = os.environ.get("XTTS_FUSED_HEAD", "0").lower() in (
+                    "1", "on", "true",
                 )
                 head_fn = (
                     build_fused_gpt_head(g, dtype=self.dtype) if head_on else None
@@ -589,57 +593,75 @@ class XTTSModel:
         prev_wav_tail: Optional[np.ndarray] = None
         emitted = 0
 
-        # Pipeline depth 1: chunk i+1 is dispatched BEFORE chunk i's
-        # packed result is fetched, so the ~27 ms tunnel fetch of chunk i
-        # overlaps chunk i+1's device compute. State chains entirely on
-        # device; if chunk i says stop, the speculative dispatch is
-        # simply never fetched (one chunk of wasted device time per
-        # utterance, invisible to the caller).
-        pending, state = launch(state)
-        for i in range(max_chunks):
-            c_i = sizes[i]
-            if i + 1 < max_chunks:
-                nxt, state = launch(state)
-            else:
-                nxt = None
-            arr = np.asarray(pending)
-            pending = nxt
-            valid = int(arr[-2])
-            done = bool(arr[-1])
+        # Pipelined dispatch + OVERLAPPED fetches: up to `depth` chunks
+        # are in flight, each fetched to host by its own thread so the
+        # ~27 ms tunnel round-trips overlap each other AND later chunks'
+        # device compute. With depth 1 the serial per-chunk fetch was the
+        # steady-state floor (probe_fused_gpt: device ≈ 12 ms/chunk,
+        # wall ≈ 30 ms); threaded fetches make the stream device-bound.
+        # State still chains on device in dispatch order; if chunk i says
+        # stop, the ≤depth speculative dispatches are simply abandoned
+        # (a few ms of wasted device time per utterance).
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
 
-            if valid > 0:
-                full = arr[:-2]
-                # the chunk's local wav covers (left + c_i) tokens and
-                # ends exactly at token boundary emitted+c_i; emit the
-                # `want` samples ending at the first `valid` new tokens'
-                # boundary (sub-sample boundary jitter from the two
-                # floor-interpolations is absorbed by the crossfade)
-                want = target(emitted + valid) - target(emitted)
-                end = round(len(full) * (left + valid) / (left + c_i))
-                wav = full[max(0, end - want): end].copy()
+        depth = max(1, int(os.environ.get("XTTS_PIPELINE_DEPTH", "3")))
+        pool = ThreadPoolExecutor(max_workers=depth)
+        inflight: "collections.deque" = collections.deque()
+        dispatched = 0
+        try:
+            while dispatched < min(depth, max_chunks):
+                disp, state = launch(state)
+                inflight.append(pool.submit(np.asarray, disp))
+                dispatched += 1
+            for i in range(max_chunks):
+                c_i = sizes[i]
+                arr = inflight.popleft().result()
+                valid = int(arr[-2])
+                done = bool(arr[-1])
+                if not done and valid == c_i and dispatched < max_chunks:
+                    disp, state = launch(state)
+                    inflight.append(pool.submit(np.asarray, disp))
+                    dispatched += 1
 
-                # crossfade with the previous chunk tail (overlap_wav_len)
-                if prev_wav_tail is not None and overlap_wav_len > 0:
-                    n = min(len(prev_wav_tail), overlap_wav_len, len(wav))
-                    if n > 0:
-                        ramp = np.linspace(0.0, 1.0, n, dtype=np.float32)
-                        wav[:n] = wav[:n] * ramp + prev_wav_tail[:n] * (1 - ramp)
-                if overlap_wav_len > 0 and len(wav) > overlap_wav_len:
-                    prev_wav_tail = wav[-overlap_wav_len:].copy()
-                out = wav
-                if speed != 1.0 and speed > 0:
-                    from wis_tpu.audio import codecs
+                if valid > 0:
+                    full = arr[:-2]
+                    # the chunk's local wav covers (left + c_i) tokens and
+                    # ends exactly at token boundary emitted+c_i; emit the
+                    # `want` samples ending at the first `valid` new
+                    # tokens' boundary (sub-sample boundary jitter from
+                    # the two floor-interpolations is absorbed by the
+                    # crossfade)
+                    want = target(emitted + valid) - target(emitted)
+                    end = round(len(full) * (left + valid) / (left + c_i))
+                    wav = full[max(0, end - want): end].copy()
 
-                    out = codecs.resample(
-                        out,
-                        int(self.cfg.vocoder.sample_rate * speed),
-                        self.cfg.vocoder.sample_rate,
-                    )
-                emitted += valid
-                yield out.astype(np.float32)
+                    # crossfade with the previous chunk tail
+                    if prev_wav_tail is not None and overlap_wav_len > 0:
+                        n = min(len(prev_wav_tail), overlap_wav_len, len(wav))
+                        if n > 0:
+                            ramp = np.linspace(0.0, 1.0, n, dtype=np.float32)
+                            wav[:n] = wav[:n] * ramp + prev_wav_tail[:n] * (
+                                1 - ramp
+                            )
+                    if overlap_wav_len > 0 and len(wav) > overlap_wav_len:
+                        prev_wav_tail = wav[-overlap_wav_len:].copy()
+                    emit = wav
+                    if speed != 1.0 and speed > 0:
+                        from wis_tpu.audio import codecs
 
-            if done or valid < c_i:
-                break
+                        emit = codecs.resample(
+                            emit,
+                            int(self.cfg.vocoder.sample_rate * speed),
+                            self.cfg.vocoder.sample_rate,
+                        )
+                    emitted += valid
+                    yield emit.astype(np.float32)
+
+                if done or valid < c_i:
+                    break
+        finally:
+            pool.shutdown(wait=True)
 
     def inference_stream_split(
         self, text: str, language: str, *args, enable_text_splitting: bool = False,
