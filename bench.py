@@ -66,6 +66,48 @@ def _emit(row: dict, raw: dict | None = None) -> None:
         print(json.dumps({"metric": row["metric"], **raw}), file=sys.stderr, flush=True)
 
 
+_TUNNEL: dict = {}
+
+
+def _calibrate_tunnel() -> None:
+    """Measure the axon tunnel's round-trip and h2d bandwidth right now.
+
+    The TPU sits behind a network tunnel whose bandwidth varies by
+    session (measured 11-60 MB/s on identical data across days); rows
+    that move megabytes of audio (the 180 s chunked row ships 5.76 MB
+    of PCM per request) swing with it. Recording the conditions next to
+    the numbers keeps the artifact interpretable — bare-metal serving
+    pays neither cost (PCIe ≈ 16 GB/s)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    tiny = np.zeros(8, np.int32)
+    _ = np.asarray(f(tiny))  # warm
+    rtts = []
+    for _i in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(f(tiny))
+        rtts.append((time.perf_counter() - t0) * 1000)
+    s = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
+    big = np.random.default_rng(0).integers(
+        -20000, 20000, 180 * 16000).astype(np.int16)
+    _ = np.asarray(s(big))  # warm
+    bws = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(s(big))
+        dt = time.perf_counter() - t0 - statistics.median(rtts) / 1000
+        bws.append(big.nbytes / max(dt, 1e-3) / 1e6)
+    _TUNNEL.update(
+        rtt_ms=round(statistics.median(rtts), 1),
+        h2d_MBps=round(statistics.median(bws), 1),
+    )
+    print(json.dumps({"tunnel": _TUNNEL}), file=sys.stderr, flush=True)
+
+
 def _summary() -> None:
     """Final line = headline metric/value/vs_baseline + every row, compact.
     A driver that parses only the LAST stdout line gets the headline
@@ -80,6 +122,7 @@ def _summary() -> None:
                 "value": head["value"],
                 "unit": head["unit"],
                 "vs_baseline": head["vs_baseline"],
+                "tunnel": _TUNNEL,
                 "rows": [
                     {
                         "metric": r["metric"],
@@ -346,6 +389,7 @@ def _tts_row() -> None:
 
 
 def main() -> None:
+    _calibrate_tunnel()
     engines = {}
     for metric, model, beam, fixture, synth_ms, budget, base_x, base_hw in CONFIGS:
         key = (model, beam)
