@@ -31,6 +31,17 @@ def enable_persistent_cache() -> None:
     try:
         import jax
 
+        # CPU-forced processes (tests, the multichip dryrun) use a
+        # sibling subdirectory: the axon/TPU-attached process writes
+        # CPU-AOT entries with platform-specific feature flags
+        # (prefer-no-scatter/gather) that a plain CPU process then
+        # reloads with a multi-KB cpu_aot_loader mismatch error per
+        # entry — loud enough to crowd real output out of a bounded
+        # log tail. The TPU program cache stays at the root so warm
+        # bench runs keep hitting it.
+        plat = str(getattr(jax.config, "jax_platforms", None) or "")
+        if plat.split(",")[0] == "cpu":
+            path = os.path.join(path, "cpu")
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
