@@ -186,3 +186,32 @@ def test_int16_audio_chunked(engine):
     res_i = engine.transcribe(i16, model="tiny", beam_size=1)
     res_f = engine.transcribe(f32, model="tiny", beam_size=1)
     assert res_i.text == res_f.text
+
+
+def test_steady_state_latency(engine):
+    """The pipelined serving-latency probe: runs the exact request
+    program K times back-to-back and subtracts the live no-op RTT —
+    the bench's tunnel-invariant span (bench.py headline rows)."""
+    ss = engine.steady_state_latency(
+        _audio(1.0), model="tiny", beam_size=1, max_tokens=4,
+        iters=2, repeats=1,
+    )
+    assert ss["iters"] == 2
+    assert ss["device_ms"] >= 0.0
+    assert ss["wall_ms"] > 0.0
+    # program must come from the same cache the request path populated:
+    # no new compile key beyond what transcribe() created
+    keys_before = set(engine._programs)
+    engine.steady_state_latency(
+        _audio(1.0), model="tiny", beam_size=1, max_tokens=4,
+        iters=2, repeats=1,
+    )
+    assert set(engine._programs) == keys_before
+
+
+def test_steady_state_latency_batch(engine):
+    ss = engine.steady_state_latency(
+        _audio(1.0), model="tiny", beam_size=1, max_tokens=4,
+        iters=2, repeats=1, batch=4,
+    )
+    assert ss["device_ms"] >= 0.0
