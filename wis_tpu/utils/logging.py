@@ -13,8 +13,13 @@ import os
 
 def configure_logging(level: str | None = None) -> logging.Logger:
     level = (level or os.environ.get("LOG_LEVEL", "info")).upper()
+    # Root stays at INFO: LOG_LEVEL=debug scopes to the app logger only —
+    # propagating DEBUG to jax's internal loggers floods the log and adds
+    # measurable per-dispatch host overhead on single-core serving hosts.
     logging.basicConfig(
-        level=getattr(logging, level, logging.INFO),
+        level=logging.INFO,
         format="[%(asctime)s] [%(name)s] [%(levelname)s] %(message)s",
     )
-    return logging.getLogger("wis_tpu")
+    logger = logging.getLogger("wis_tpu")
+    logger.setLevel(getattr(logging, level, logging.INFO))
+    return logger
