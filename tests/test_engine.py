@@ -192,6 +192,13 @@ def test_steady_state_latency(engine):
     """The pipelined serving-latency probe: runs the exact request
     program K times back-to-back and subtracts the live no-op RTT —
     the bench's tunnel-invariant span (bench.py headline rows)."""
+    # the probe must reuse the program key transcribe() compiles for the
+    # identical request — a divergent key would cost the driver a fresh
+    # remote compile per bench row (ADVICE r4: snapshot the cache AFTER
+    # transcribe but BEFORE the probe, so the assertion can actually
+    # catch a key mismatch, not just probe-vs-probe idempotence)
+    engine.transcribe(_audio(1.0), model="tiny", beam_size=1, max_tokens=4)
+    keys_before = set(engine._programs)
     ss = engine.steady_state_latency(
         _audio(1.0), model="tiny", beam_size=1, max_tokens=4,
         iters=2, repeats=1,
@@ -199,13 +206,6 @@ def test_steady_state_latency(engine):
     assert ss["iters"] == 2
     assert ss["device_ms"] >= 0.0
     assert ss["wall_ms"] > 0.0
-    # program must come from the same cache the request path populated:
-    # no new compile key beyond what transcribe() created
-    keys_before = set(engine._programs)
-    engine.steady_state_latency(
-        _audio(1.0), model="tiny", beam_size=1, max_tokens=4,
-        iters=2, repeats=1,
-    )
     assert set(engine._programs) == keys_before
 
 

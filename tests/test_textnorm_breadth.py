@@ -1,0 +1,156 @@
+"""Textnorm coverage for the round-5 language additions (it, pt, pl,
+ru, nl) — number grammar, Slavic plural agreement, currency, decimals,
+abbreviations, symbols (VERDICT r4 #6; reference analog: Coqui's
+multilingual cleaner feeding inference_stream, xtts/main.py:297-314).
+The remaining XTTS languages (tr, cs, ar, zh-cn, hu, ko, ja) pass
+digits through unchanged — pinned here as the documented degradation.
+"""
+
+import pytest
+
+from wis_tpu.models.xtts.textnorm import (
+    num_it,
+    num_nl,
+    num_pl,
+    num_pt,
+    num_ru,
+    preprocess_text,
+)
+
+
+@pytest.mark.parametrize(
+    "n,words",
+    [
+        (0, "zero"), (3, "tre"), (16, "sedici"), (21, "ventuno"),
+        (23, "ventitré"), (28, "ventotto"), (31, "trentuno"),
+        (88, "ottantotto"), (100, "cento"), (101, "centouno"),
+        (108, "centotto"), (180, "centottanta"), (200, "duecento"),
+        (1000, "mille"), (2000, "duemila"),
+        (1996, "mille novecentonovantasei"),
+        (1_000_000, "un milione"), (2_000_000, "due milioni"),
+        (-4, "meno quattro"),
+    ],
+)
+def test_num_it(n, words):
+    assert num_it(n) == words
+
+
+@pytest.mark.parametrize(
+    "n,words",
+    [
+        (0, "zero"), (16, "dezesseis"), (21, "vinte e um"),
+        (100, "cem"), (101, "cento e um"),
+        (234, "duzentos e trinta e quatro"), (500, "quinhentos"),
+        (1000, "mil"), (1005, "mil e cinco"), (1100, "mil e cem"),
+        (2345, "dois mil trezentos e quarenta e cinco"),
+        (1_000_000, "um milhão"), (3_000_000, "três milhões"),
+        (-7, "menos sete"),
+    ],
+)
+def test_num_pt(n, words):
+    assert num_pt(n) == words
+
+
+@pytest.mark.parametrize(
+    "n,words",
+    [
+        (0, "zero"), (1, "jeden"), (15, "piętnaście"),
+        (21, "dwadzieścia jeden"), (100, "sto"),
+        (345, "trzysta czterdzieści pięć"), (500, "pięćset"),
+        (1000, "tysiąc"), (2000, "dwa tysiące"), (5000, "pięć tysięcy"),
+        (12_000, "dwanaście tysięcy"),
+        (22_000, "dwadzieścia dwa tysiące"),
+        (1_000_000, "milion"), (2_000_000, "dwa miliony"),
+        (5_000_000, "pięć milionów"), (-9, "minus dziewięć"),
+    ],
+)
+def test_num_pl(n, words):
+    assert num_pl(n) == words
+
+
+@pytest.mark.parametrize(
+    "n,words",
+    [
+        (0, "ноль"), (1, "один"), (14, "четырнадцать"),
+        (21, "двадцать один"), (40, "сорок"), (100, "сто"),
+        (256, "двести пятьдесят шесть"), (900, "девятьсот"),
+        (1000, "одна тысяча"), (2000, "две тысячи"),
+        (5000, "пять тысяч"), (11_000, "одиннадцать тысяч"),
+        (21_000, "двадцать одна тысяча"),
+        (1_000_000, "один миллион"), (2_000_000, "два миллиона"),
+        (7_000_000, "семь миллионов"), (-3, "минус три"),
+    ],
+)
+def test_num_ru(n, words):
+    assert num_ru(n) == words
+
+
+@pytest.mark.parametrize(
+    "n,words",
+    [
+        (0, "nul"), (13, "dertien"), (21, "eenentwintig"),
+        (22, "tweeëntwintig"), (33, "drieëndertig"), (48, "achtenveertig"),
+        (100, "honderd"), (105, "honderdvijf"),
+        (222, "tweehonderdtweeëntwintig"), (1000, "duizend"),
+        (2500, "tweeduizend vijfhonderd"),
+        (1_000_000, "een miljoen"), (3_000_000, "drie miljoen"),
+        (-6, "min zes"),
+    ],
+)
+def test_num_nl(n, words):
+    assert num_nl(n) == words
+
+
+# --------------------------------------------------------------------------- #
+# Full-pipeline sentences per language
+# --------------------------------------------------------------------------- #
+def test_preprocess_italian():
+    out = preprocess_text("Il Dott. Rossi ha pagato €2,50 — il 25%!", "it")
+    assert "dottor rossi" in out
+    assert "due euro e cinquanta centesimi" in out
+    assert "venticinque per cento" in out
+
+
+def test_preprocess_portuguese():
+    out = preprocess_text("O Sr. Silva pagou $3.50 e 100%", "pt")
+    assert "senhor silva" in out
+    assert "três dólares e cinquenta centavos" in out
+    assert "cem por cento" in out
+
+
+def test_preprocess_polish():
+    out = preprocess_text("Dr. Kowalski zapłacił $5 za 2 bilety", "pl")
+    assert "doktor kowalski" in out
+    assert "pięć dolarów" in out  # genitive plural agreement
+    assert "dwa bilety" in out
+    assert "pięć procent" in preprocess_text("5%", "pl")
+
+
+def test_preprocess_russian():
+    out = preprocess_text("Он заплатил $2 и ещё $21", "ru")
+    assert "два доллара" in out  # paucal
+    assert "двадцать один доллар" in out  # 21 → singular
+    assert preprocess_text("3,5", "ru") == "три запятая пять"
+
+
+def test_preprocess_dutch():
+    out = preprocess_text("Dhr. Jansen betaalde €2,50 voor 21 appels", "nl")
+    assert "de heer jansen" in out
+    assert "twee euro en vijftig cent" in out
+    assert "eenentwintig appels" in out
+
+
+def test_decimal_comma_new_languages():
+    assert preprocess_text("3,14", "it") == "tre virgola uno quattro"
+    assert preprocess_text("3,14", "pt") == "três vírgula um quatro"
+    assert preprocess_text("3,14", "pl") == (
+        "trzy przecinek jeden cztery"
+    )
+    assert preprocess_text("3,14", "nl") == "drie komma een vier"
+
+
+def test_uncovered_languages_pass_digits_through():
+    # tr/cs/ar/zh-cn/hu/ko/ja have no number tables: digits survive,
+    # language-independent steps (lowercase, quotes, whitespace) apply
+    for lang in ("tr", "cs", "ar", "zh-cn", "hu", "ko", "ja"):
+        assert preprocess_text('He said "42"', lang) == "he said 42"

@@ -9,11 +9,14 @@ Skipping that stage feeds digit/symbol characters to a model that was
 trained almost entirely on cleaned text — real checkpoints mispronounce
 or drop them. This module re-implements the contract from scratch:
 
-- number → words: full cardinal/ordinal/decimal/currency support for
-  en, es, fr, de (written from the standard grammar of each language,
-  not ported); other languages pass digits through unchanged (the BPE
-  still encodes them — degraded, never wrong-language words).
-- abbreviation and symbol tables for en/es/fr/de.
+- number → words: full cardinal/decimal/currency support for en, es,
+  fr, de, it, pt, pl, ru, nl (each written from the standard grammar of
+  its language, not ported; English additionally expands ordinals);
+  the remaining XTTS languages (tr, cs, ar, zh-cn, hu, ko, ja) pass
+  digits through unchanged (the BPE still encodes them — degraded,
+  never wrong-language words).
+- abbreviation and symbol tables per covered language; Slavic
+  one/few/many plural agreement for pl/ru currency units.
 - Turkish dotted-İ lowering, quote stripping, whitespace collapse for
   every language.
 
@@ -269,28 +272,369 @@ def num_de(n: int) -> str:
     return parts.strip().lower()
 
 
-_NUM_FN = {"en": num_en, "es": num_es, "fr": num_fr, "de": num_de}
+# --------------------------------------------------------------------------- #
+# Italian numbers
+# --------------------------------------------------------------------------- #
+
+_IT_UNITS = [
+    "zero", "uno", "due", "tre", "quattro", "cinque", "sei", "sette",
+    "otto", "nove", "dieci", "undici", "dodici", "tredici", "quattordici",
+    "quindici", "sedici", "diciassette", "diciotto", "diciannove",
+]
+_IT_TENS = [
+    "", "", "venti", "trenta", "quaranta", "cinquanta", "sessanta",
+    "settanta", "ottanta", "novanta",
+]
+
+
+def _it_under_100(n: int) -> str:
+    if n < 20:
+        return _IT_UNITS[n]
+    t, u = n // 10, n % 10
+    tens = _IT_TENS[t]
+    if u == 0:
+        return tens
+    if u in (1, 8):  # vowel elision: ventuno, ventotto
+        tens = tens[:-1]
+    return tens + ("tré" if u == 3 else _IT_UNITS[u])
+
+
+def _it_under_1000(n: int) -> str:
+    if n < 100:
+        return _it_under_100(n)
+    h, r = n // 100, n % 100
+    word = "cento" if h == 1 else _IT_UNITS[h] + "cento"
+    if r == 0:
+        return word
+    rest = _it_under_100(r)
+    if rest.startswith("o"):  # centottanta, centotto
+        word = word[:-1]
+    return word + rest
+
+
+def num_it(n: int) -> str:
+    if n < 0:
+        return "meno " + num_it(-n)
+    if n == 0:
+        return "zero"
+    parts = []
+    if n >= 10 ** 6:
+        m = n // 10 ** 6
+        parts.append("un milione" if m == 1 else num_it(m) + " milioni")
+        n %= 10 ** 6
+    if n >= 1000:
+        k = n // 1000
+        parts.append("mille" if k == 1 else _it_under_1000(k) + "mila")
+        n %= 1000
+    if n:
+        parts.append(_it_under_1000(n))
+    return " ".join(parts)
+
+
+# --------------------------------------------------------------------------- #
+# Portuguese numbers (Brazilian forms: dezesseis, catorze, milhão)
+# --------------------------------------------------------------------------- #
+
+_PT_UNITS = [
+    "zero", "um", "dois", "três", "quatro", "cinco", "seis", "sete",
+    "oito", "nove", "dez", "onze", "doze", "treze", "catorze", "quinze",
+    "dezesseis", "dezessete", "dezoito", "dezenove",
+]
+_PT_TENS = [
+    "", "", "vinte", "trinta", "quarenta", "cinquenta", "sessenta",
+    "setenta", "oitenta", "noventa",
+]
+_PT_HUNDREDS = [
+    "", "cento", "duzentos", "trezentos", "quatrocentos", "quinhentos",
+    "seiscentos", "setecentos", "oitocentos", "novecentos",
+]
+
+
+def _pt_under_1000(n: int) -> str:
+    if n == 100:
+        return "cem"
+    parts = []
+    if n >= 100:
+        parts.append(_PT_HUNDREDS[n // 100])
+        n %= 100
+    if n >= 20:
+        u = n % 10
+        parts.append(_PT_TENS[n // 10] + (" e " + _PT_UNITS[u] if u else ""))
+    elif n > 0 or not parts:
+        parts.append(_PT_UNITS[n])
+    return " e ".join(parts)
+
+
+def num_pt(n: int) -> str:
+    if n < 0:
+        return "menos " + num_pt(-n)
+    if n == 0:
+        return "zero"
+    parts = []
+    if n >= 10 ** 6:
+        m = n // 10 ** 6
+        parts.append("um milhão" if m == 1 else num_pt(m) + " milhões")
+        n %= 10 ** 6
+    if n >= 1000:
+        k = n // 1000
+        parts.append("mil" if k == 1 else _pt_under_1000(k) + " mil")
+        n %= 1000
+    if n:
+        last = _pt_under_1000(n)
+        # "e" links thousands to a final group under 100 or an exact
+        # hundred (mil e cinco; dois mil e duzentos) but not otherwise
+        if parts and (n < 100 or n % 100 == 0):
+            parts[-1] = parts[-1] + " e " + last
+        else:
+            parts.append(last)
+    return " ".join(parts)
+
+
+# --------------------------------------------------------------------------- #
+# Polish numbers (one/few/many plural agreement for group words)
+# --------------------------------------------------------------------------- #
+
+_PL_UNITS = [
+    "zero", "jeden", "dwa", "trzy", "cztery", "pięć", "sześć", "siedem",
+    "osiem", "dziewięć", "dziesięć", "jedenaście", "dwanaście",
+    "trzynaście", "czternaście", "piętnaście", "szesnaście",
+    "siedemnaście", "osiemnaście", "dziewiętnaście",
+]
+_PL_TENS = [
+    "", "", "dwadzieścia", "trzydzieści", "czterdzieści", "pięćdziesiąt",
+    "sześćdziesiąt", "siedemdziesiąt", "osiemdziesiąt",
+    "dziewięćdziesiąt",
+]
+_PL_HUNDREDS = [
+    "", "sto", "dwieście", "trzysta", "czterysta", "pięćset", "sześćset",
+    "siedemset", "osiemset", "dziewięćset",
+]
+
+
+def _slavic_form(n: int, forms) -> str:
+    """Slavic one/few/many plural selection (pl/ru share the rule):
+    1 (but not 11) → singular; 2-4 (but not 12-14) → paucal; else
+    genitive plural."""
+    if n % 10 == 1 and n % 100 != 11:
+        return forms[0]
+    if 2 <= n % 10 <= 4 and not 12 <= n % 100 <= 14:
+        return forms[1]
+    return forms[2]
+
+
+def _pl_under_1000(n: int) -> str:
+    parts = []
+    if n >= 100:
+        parts.append(_PL_HUNDREDS[n // 100])
+        n %= 100
+    if n >= 20:
+        parts.append(_PL_TENS[n // 10])
+        if n % 10:
+            parts.append(_PL_UNITS[n % 10])
+    elif n > 0 or not parts:
+        parts.append(_PL_UNITS[n])
+    return " ".join(parts)
+
+
+def num_pl(n: int) -> str:
+    if n < 0:
+        return "minus " + num_pl(-n)
+    if n == 0:
+        return "zero"
+    parts = []
+    if n >= 10 ** 6:
+        m = n // 10 ** 6
+        word = _slavic_form(m, ("milion", "miliony", "milionów"))
+        parts.append(word if m == 1 else num_pl(m) + " " + word)
+        n %= 10 ** 6
+    if n >= 1000:
+        k = n // 1000
+        word = _slavic_form(k, ("tysiąc", "tysiące", "tysięcy"))
+        parts.append(word if k == 1 else _pl_under_1000(k) + " " + word)
+        n %= 1000
+    if n:
+        parts.append(_pl_under_1000(n))
+    return " ".join(parts)
+
+
+# --------------------------------------------------------------------------- #
+# Russian numbers (feminine agreement with тысяча; one/few/many groups)
+# --------------------------------------------------------------------------- #
+
+_RU_UNITS = [
+    "ноль", "один", "два", "три", "четыре", "пять", "шесть", "семь",
+    "восемь", "девять", "десять", "одиннадцать", "двенадцать",
+    "тринадцать", "четырнадцать", "пятнадцать", "шестнадцать",
+    "семнадцать", "восемнадцать", "девятнадцать",
+]
+_RU_TENS = [
+    "", "", "двадцать", "тридцать", "сорок", "пятьдесят", "шестьдесят",
+    "семьдесят", "восемьдесят", "девяносто",
+]
+_RU_HUNDREDS = [
+    "", "сто", "двести", "триста", "четыреста", "пятьсот", "шестьсот",
+    "семьсот", "восемьсот", "девятьсот",
+]
+
+
+def _ru_under_1000(n: int, feminine: bool = False) -> str:
+    parts = []
+    if n >= 100:
+        parts.append(_RU_HUNDREDS[n // 100])
+        n %= 100
+    if n >= 20:
+        parts.append(_RU_TENS[n // 10])
+        n %= 10
+    if n > 0 or not parts:
+        if feminine and n == 1:
+            parts.append("одна")
+        elif feminine and n == 2:
+            parts.append("две")
+        else:
+            parts.append(_RU_UNITS[n])
+    return " ".join(parts)
+
+
+def num_ru(n: int) -> str:
+    if n < 0:
+        return "минус " + num_ru(-n)
+    if n == 0:
+        return "ноль"
+    parts = []
+    if n >= 10 ** 6:
+        m = n // 10 ** 6
+        parts.append(
+            num_ru(m) + " "
+            + _slavic_form(m, ("миллион", "миллиона", "миллионов"))
+        )
+        n %= 10 ** 6
+    if n >= 1000:
+        k = n // 1000
+        parts.append(
+            _ru_under_1000(k, feminine=True) + " "
+            + _slavic_form(k, ("тысяча", "тысячи", "тысяч"))
+        )
+        n %= 1000
+    if n:
+        parts.append(_ru_under_1000(n))
+    return " ".join(parts)
+
+
+# --------------------------------------------------------------------------- #
+# Dutch numbers (unit-before-tens with en/ën liaison)
+# --------------------------------------------------------------------------- #
+
+_NL_UNITS = [
+    "nul", "een", "twee", "drie", "vier", "vijf", "zes", "zeven", "acht",
+    "negen", "tien", "elf", "twaalf", "dertien", "veertien", "vijftien",
+    "zestien", "zeventien", "achttien", "negentien",
+]
+_NL_TENS = [
+    "", "", "twintig", "dertig", "veertig", "vijftig", "zestig",
+    "zeventig", "tachtig", "negentig",
+]
+
+
+def _nl_under_100(n: int) -> str:
+    if n < 20:
+        return _NL_UNITS[n]
+    t, u = n // 10, n % 10
+    if u == 0:
+        return _NL_TENS[t]
+    unit = _NL_UNITS[u]
+    link = "ën" if unit.endswith("e") else "en"  # tweeëntwintig
+    return unit + link + _NL_TENS[t]
+
+
+def _nl_under_1000(n: int) -> str:
+    if n < 100:
+        return _nl_under_100(n)
+    h, r = n // 100, n % 100
+    word = "honderd" if h == 1 else _NL_UNITS[h] + "honderd"
+    return word + (_nl_under_100(r) if r else "")
+
+
+def num_nl(n: int) -> str:
+    if n < 0:
+        return "min " + num_nl(-n)
+    if n == 0:
+        return "nul"
+    parts = []
+    if n >= 10 ** 6:
+        m = n // 10 ** 6
+        parts.append(("een" if m == 1 else num_nl(m)) + " miljoen")
+        n %= 10 ** 6
+    if n >= 1000:
+        k = n // 1000
+        parts.append(("" if k == 1 else _nl_under_1000(k)) + "duizend")
+        n %= 1000
+    if n:
+        parts.append(_nl_under_1000(n))
+    return " ".join(parts)
+
+
+_NUM_FN = {
+    "en": num_en, "es": num_es, "fr": num_fr, "de": num_de,
+    "it": num_it, "pt": num_pt, "pl": num_pl, "ru": num_ru, "nl": num_nl,
+}
 
 # --------------------------------------------------------------------------- #
 # Currency / decimal vocabulary per language
 # --------------------------------------------------------------------------- #
 
+# Each symbol maps to (unit_forms, cent_forms): 1 form = invariant,
+# 2 forms = singular/plural, 3 forms = Slavic one/few/many (selected by
+# _slavic_form — pl/ru unit words agree with the amount).
 _CURRENCY = {
-    "en": {"$": ("dollar", "dollars", "cent", "cents"),
-           "£": ("pound", "pounds", "penny", "pence"),
-           "€": ("euro", "euros", "cent", "cents")},
-    "es": {"$": ("dólar", "dólares", "centavo", "centavos"),
-           "£": ("libra", "libras", "penique", "peniques"),
-           "€": ("euro", "euros", "céntimo", "céntimos")},
-    "fr": {"$": ("dollar", "dollars", "centime", "centimes"),
-           "£": ("livre", "livres", "penny", "pence"),
-           "€": ("euro", "euros", "centime", "centimes")},
-    "de": {"$": ("dollar", "dollar", "cent", "cent"),
-           "£": ("pfund", "pfund", "penny", "pence"),
-           "€": ("euro", "euro", "cent", "cent")},
+    "en": {"$": (("dollar", "dollars"), ("cent", "cents")),
+           "£": (("pound", "pounds"), ("penny", "pence")),
+           "€": (("euro", "euros"), ("cent", "cents"))},
+    "es": {"$": (("dólar", "dólares"), ("centavo", "centavos")),
+           "£": (("libra", "libras"), ("penique", "peniques")),
+           "€": (("euro", "euros"), ("céntimo", "céntimos"))},
+    "fr": {"$": (("dollar", "dollars"), ("centime", "centimes")),
+           "£": (("livre", "livres"), ("penny", "pence")),
+           "€": (("euro", "euros"), ("centime", "centimes"))},
+    "de": {"$": (("dollar",), ("cent",)),
+           "£": (("pfund",), ("penny", "pence")),
+           "€": (("euro",), ("cent",))},
+    "it": {"$": (("dollaro", "dollari"), ("centesimo", "centesimi")),
+           "£": (("sterlina", "sterline"), ("penny",)),
+           "€": (("euro",), ("centesimo", "centesimi"))},
+    "pt": {"$": (("dólar", "dólares"), ("centavo", "centavos")),
+           "£": (("libra", "libras"), ("penny", "pence")),
+           "€": (("euro", "euros"), ("cêntimo", "cêntimos"))},
+    "pl": {"$": (("dolar", "dolary", "dolarów"),
+                 ("cent", "centy", "centów")),
+           "£": (("funt", "funty", "funtów"),
+                 ("pens", "pensy", "pensów")),
+           "€": (("euro",), ("cent", "centy", "centów"))},
+    "ru": {"$": (("доллар", "доллара", "долларов"),
+                 ("цент", "цента", "центов")),
+           "£": (("фунт", "фунта", "фунтов"),
+                 ("пенс", "пенса", "пенсов")),
+           "€": (("евро",), ("цент", "цента", "центов"))},
+    "nl": {"$": (("dollar",), ("cent",)),
+           "£": (("pond",), ("penny",)),
+           "€": (("euro",), ("cent",))},
 }
-_DECIMAL_POINT = {"en": "point", "es": "coma", "fr": "virgule", "de": "komma"}
-_AND_WORD = {"en": "and", "es": "con", "fr": "et", "de": "und"}
+_DECIMAL_POINT = {
+    "en": "point", "es": "coma", "fr": "virgule", "de": "komma",
+    "it": "virgola", "pt": "vírgula", "pl": "przecinek", "ru": "запятая",
+    "nl": "komma",
+}
+_AND_WORD = {
+    "en": "and", "es": "con", "fr": "et", "de": "und", "it": "e",
+    "pt": "e", "pl": "i", "ru": "и", "nl": "en",
+}
+
+
+def _select_form(n: int, forms) -> str:
+    if len(forms) == 3:
+        return _slavic_form(n, forms)
+    if len(forms) == 2:
+        return forms[0] if n == 1 else forms[1]
+    return forms[0]
 
 # --------------------------------------------------------------------------- #
 # Abbreviations (dot-terminated) and spoken symbols
@@ -318,6 +662,26 @@ _ABBREV = {
         "prof": "professor", "usw": "und so weiter", "bzw":
         "beziehungsweise", "z.b": "zum beispiel",
     },
+    "it": {
+        "sig": "signor", "dott": "dottor", "prof": "professor",
+        "avv": "avvocato", "ecc": "eccetera", "geom": "geometra",
+    },
+    "pt": {
+        "sr": "senhor", "sra": "senhora", "dr": "doutor", "dra":
+        "doutora", "av": "avenida", "etc": "et cetera",
+    },
+    "pl": {
+        "dr": "doktor", "prof": "profesor", "ul": "ulica",
+        "np": "na przykład", "itd": "i tak dalej", "tzn": "to znaczy",
+    },
+    "ru": {
+        "т.д": "так далее", "т.е": "то есть", "ул": "улица",
+        "гр": "гражданин",
+    },
+    "nl": {
+        "dhr": "de heer", "mevr": "mevrouw", "dr": "dokter",
+        "st": "sint", "nr": "nummer", "enz": "enzovoort",
+    },
 }
 
 _SYMBOLS = {
@@ -329,19 +693,34 @@ _SYMBOLS = {
            " dièse ", "°": " degrés "},
     "de": {"&": " und ", "@": " at ", "%": " prozent ", "#": " raute ",
            "°": " grad "},
+    "it": {"&": " e ", "@": " chiocciola ", "%": " per cento ",
+           "#": " cancelletto ", "°": " gradi "},
+    "pt": {"&": " e ", "@": " arroba ", "%": " por cento ",
+           "#": " cardinal ", "°": " graus "},
+    "pl": {"&": " i ", "@": " małpa ", "%": " procent ",
+           "#": " kratka ", "°": " stopni "},
+    "ru": {"&": " и ", "@": " собака ", "%": " процентов ",
+           "#": " решётка ", "°": " градусов "},
+    "nl": {"&": " en ", "@": " apenstaartje ", "%": " procent ",
+           "#": " hekje ", "°": " graden "},
 }
 
 _WHITESPACE_RE = re.compile(r"\s+")
 _NUMBER_RE = re.compile(r"\d+")
 _COMMA_GROUP_RE = re.compile(r"(\d),(\d\d\d)(?!\d)")
 _DECIMAL_RE = re.compile(r"(\d+)\.(\d+)")
+#: continental decimal comma (3,5) — applied for non-English languages
+#: AFTER thousand-group commas are stripped, so only true decimals remain
+_DECIMAL_COMMA_RE = re.compile(r"(\d+),(\d+)")
 _ORDINAL_EN_RE = re.compile(r"\b(\d+)(st|nd|rd|th)\b")
-_CURRENCY_RE = re.compile(r"([$£€])(\d+(?:\.\d+)?)")
+#: amount accepts dot or comma decimals (€2.50 and €2,50 both speak as
+#: two euros fifty)
+_CURRENCY_RE = re.compile(r"([$£€])(\d+(?:[.,]\d+)?)")
 
 
 def _expand_currency(m: re.Match, lang: str) -> str:
-    sym, amount = m.group(1), m.group(2)
-    unit_s, unit_p, cent_s, cent_p = _CURRENCY[lang][sym]
+    sym, amount = m.group(1), m.group(2).replace(",", ".")
+    unit_forms, cent_forms = _CURRENCY[lang][sym]
     num = _NUM_FN[lang]
     if "." in amount:
         whole_s, frac_s = amount.split(".")
@@ -350,9 +729,9 @@ def _expand_currency(m: re.Match, lang: str) -> str:
         whole, cents = int(amount), 0
     parts = []
     if whole or not cents:
-        parts.append(num(whole) + " " + (unit_s if whole == 1 else unit_p))
+        parts.append(num(whole) + " " + _select_form(whole, unit_forms))
     if cents:
-        parts.append(num(cents) + " " + (cent_s if cents == 1 else cent_p))
+        parts.append(num(cents) + " " + _select_form(cents, cent_forms))
     return (" " + _AND_WORD[lang] + " ").join(parts)
 
 
@@ -372,6 +751,8 @@ def expand_numbers(text: str, lang: str) -> str:
     if lang == "en":
         text = _ORDINAL_EN_RE.sub(lambda m: ord_en(int(m.group(1))), text)
     text = _DECIMAL_RE.sub(lambda m: _expand_decimal(m, lang), text)
+    if lang != "en":
+        text = _DECIMAL_COMMA_RE.sub(lambda m: _expand_decimal(m, lang), text)
     text = _NUMBER_RE.sub(lambda m: num(int(m.group(0))), text)
     return text
 

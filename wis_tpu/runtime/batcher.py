@@ -164,9 +164,21 @@ class InferenceExecutor:
                 #    this thread blocks here — without it the batcher
                 #    phase-locks at batch 2-3 with 10 clients in flight
                 #    (measured 7.75 req/s locked vs 13+ unlocked).
+                #    The total straggler wait is capped by an ABSOLUTE
+                #    deadline (batch_admit_max_s from the first window) so
+                #    a steady trickle can't extend the first request's
+                #    queueing delay window-by-window up to max_batch
+                #    (ADVICE r4: a 2-3 client workload would otherwise pay
+                #    up to (max_batch-2)*batch_admit_s of silent wait).
+                deadline = time.monotonic() + self.settings.batch_admit_max_s
                 while not full and not stop and 1 < len(batch) < max_batch:
                     before = len(batch)
-                    full = drain(time.monotonic() + self.settings.batch_admit_s)
+                    until = min(
+                        time.monotonic() + self.settings.batch_admit_s, deadline
+                    )
+                    if until <= time.monotonic():
+                        break
+                    full = drain(until)
                     if len(batch) == before:
                         break
                 if stop:

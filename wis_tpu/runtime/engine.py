@@ -96,7 +96,14 @@ class WhisperEngine:
         enable_persistent_cache()
         self.settings = settings or get_api_settings()
         self.registry = registry or ModelRegistry(self.settings)
-        self._programs: Dict[tuple, object] = {}
+        # LRU-bounded: every key dimension is bucket-validated upstream,
+        # but the cross-product of (model, beam, batch, decode, sample)
+        # buckets can still outgrow HBM-resident executables over a long
+        # uptime; evicted programs reload from the persistent XLA disk
+        # cache (utils/compile_cache) without a recompile.
+        from collections import OrderedDict
+
+        self._programs: "OrderedDict[tuple, object]" = OrderedDict()
         self._compile_lock = threading.Lock()
         # Serializes device work: JAX dispatch is thread-safe but ordering
         # compute explicitly keeps per-request latency predictable (the
@@ -154,11 +161,11 @@ class WhisperEngine:
                                 prompt_len=prompt_len)
         key = (model.name, beam, batch, prompt_len, detect, translate,
                timestamps, max_new, fused, n_samples, chunked)
-        prog = self._programs.get(key)
+        prog = self._cached_program(key)
         if prog is not None:
             return prog, fused
         with self._compile_lock:
-            prog = self._programs.get(key)
+            prog = self._cached_program(key)
             if prog is not None:
                 return prog, fused
             tok = model.tokenizer
@@ -177,8 +184,21 @@ class WhisperEngine:
                 n_samples=n_samples,
                 chunked=chunked,
             )
-            self._programs[key] = prog
+            self._store_program(key, prog)
             return prog, fused
+
+    def _cached_program(self, key: tuple):
+        prog = self._programs.get(key)
+        if prog is not None:
+            self._programs.move_to_end(key)
+        return prog
+
+    def _store_program(self, key: tuple, prog) -> None:
+        self._programs[key] = prog
+        cap = max(1, int(self.settings.compile_cache_max))
+        while len(self._programs) > cap:
+            old_key, _ = self._programs.popitem(last=False)
+            logger.info("ENGINE: evicted compiled program %s", old_key)
 
     def _packed_decoder(self, model: LoadedModel):
         """Kernel-layout decoder weights, repacked once per model (HBM
@@ -431,7 +451,10 @@ class WhisperEngine:
         s = self.settings
         timer = StageTimer()
         model_name = model or s.whisper_model_default
-        beam = beam_size or s.beam_size
+        # beam is a COMPILE key: bucket-validate before it can reach the
+        # program cache (a raw ?beam_size=40 would hold the inference
+        # thread through a multi-minute XLA compile; VERDICT r4 #3)
+        beam = s.beam_bucket(beam_size or s.beam_size)
 
         loaded = self.registry.get(model_name)
         tok = loaded.tokenizer
@@ -444,7 +467,7 @@ class WhisperEngine:
         # long-mode beam override (reference main.py:582-586 — note it
         # intentionally overrides the *requested* beam)
         if duration_ms >= s.long_beam_size_threshold:
-            beam = s.long_beam_size
+            beam = s.beam_bucket(s.long_beam_size)
         use_chunking = duration_ms > 30_000 and s.support_chunking
         if duration_ms > 30_000 and not s.support_chunking:
             logger.warning("ENGINE: audio > 30 s without chunking — truncating")
@@ -593,7 +616,7 @@ class WhisperEngine:
 
         s = self.settings
         model_name = model or s.whisper_model_default
-        beam = beam_size or s.beam_size
+        beam = s.beam_bucket(beam_size or s.beam_size)
         loaded = self.registry.get(model_name)
         tok = loaded.tokenizer
 
@@ -602,7 +625,7 @@ class WhisperEngine:
             audio = _to_i16(audio.astype(np.float32, copy=False))
         duration_ms = int(audio.shape[0] / SAMPLE_RATE * 1000)
         if duration_ms >= s.long_beam_size_threshold:
-            beam = s.long_beam_size
+            beam = s.beam_bucket(s.long_beam_size)
         chunked = duration_ms > 30_000 and s.support_chunking
 
         prompt = np.asarray(
@@ -726,16 +749,16 @@ class WhisperEngine:
         prompt_len = int(prompt.shape[0])
         seq_len = prompt_len + decode_bucket
         key = (loaded.name, "align", seq_len)
-        prog = self._programs.get(key)
+        prog = self._cached_program(key)
         if prog is None:
             with self._compile_lock:
-                prog = self._programs.get(key)
+                prog = self._cached_program(key)
                 if prog is None:
                     heads = load_alignment_heads(loaded.cfg, loaded.model_dir)
                     prog = build_align_from_audio(
                         loaded.cfg, seq_len=seq_len, heads=heads
                     )
-                    self._programs[key] = prog
+                    self._store_program(key, prog)
 
         n_gen = int(result["length"])
         seq = np.full((1, seq_len), EOT, np.int32)
@@ -773,7 +796,7 @@ class WhisperEngine:
         s = self.settings
         timer = StageTimer()
         model_name = requests[0].model
-        beam = requests[0].effective_beam(s)
+        beam = s.beam_bucket(requests[0].effective_beam(s))
         loaded = self.registry.get(model_name)
         tok = loaded.tokenizer
 

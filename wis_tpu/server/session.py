@@ -159,6 +159,19 @@ class StreamingSession:
             if audio.shape[0] == 0:
                 return [_msg("error", {"msg": "no audio received"})]
             obj = message.obj
+            try:
+                # beam is a compile key: bucket-validate BEFORE enqueue so
+                # a bad override can't trigger a fresh XLA compile or fail
+                # a coalesced batch (VERDICT r4 #3)
+                beam = self.settings.beam_bucket(
+                    int(
+                        obj.get("beam_size")
+                        or self.defaults.get("beam_size")
+                        or self.settings.beam_size
+                    )
+                )
+            except ValueError as e:
+                return [_msg("error", {"msg": str(e)})]
             req = ASRRequest(
                 audio=audio,
                 model=str(
@@ -166,11 +179,7 @@ class StreamingSession:
                     or self.defaults.get("model")
                     or self.settings.whisper_model_default
                 ),
-                beam_size=int(
-                    obj.get("beam_size")
-                    or self.defaults.get("beam_size")
-                    or self.settings.beam_size
-                ),
+                beam_size=beam,
                 detect_language=bool(
                     obj.get(
                         "detect_language",

@@ -26,7 +26,7 @@ from pydantic import BaseModel
 
 def _coerce(raw: str, annotation) -> object:
     """Parse an env-var string into the field's type (pydantic-settings rules)."""
-    if annotation is bool:
+    if annotation in (bool, Optional[bool]):
         return raw.strip().lower() in ("1", "true", "yes", "on", "t", "y")
     if annotation is int:
         return int(raw)
@@ -88,7 +88,11 @@ class APISettings(BaseModel):
     # ------------------------------------------------------------------ #
     # Speaker verification (reference settings.py:55-59)
     # ------------------------------------------------------------------ #
-    support_sv: bool = False
+    #: None = auto: enable iff converted WavLM weights are present at
+    #: startup — the capability-based gating the reference applies to its
+    #: GPU probe (reference main.py:266-292 auto-enables SV on capable
+    #: devices); an explicit true/false env value always wins
+    support_sv: Optional[bool] = None
     sv_threshold: float = 0.75
     #: directory of enrolled speaker embeddings (<name>.npy)
     sv_speaker_dir: str = "speakers/voice_auth"
@@ -131,6 +135,13 @@ class APISettings(BaseModel):
     #: batch-size buckets the decoder is compiled for; requests are padded
     #: up to the nearest bucket (dynamic batcher)
     batch_buckets: List[str] = ["1", "2", "4", "8"]
+    #: beam-size compile buckets. Beam size is a COMPILE key on TPU (the
+    #: reference's CT2 engine has no compile step and tolerates arbitrary
+    #: beams, main.py:1174-1182): an unvalidated `?beam_size=40` would
+    #: force a fresh multi-minute XLA compile while holding the inference
+    #: thread — a remote-compile DoS. Requested beams round UP to the
+    #: nearest bucket; beams above the largest bucket are rejected (400).
+    beam_buckets: List[str] = ["1", "2", "3", "5"]
     #: hard cap on generated tokens per 30 s window
     max_decode_tokens: int = 224
     #: decode-length compile buckets: short utterances use a small KV
@@ -169,6 +180,13 @@ class APISettings(BaseModel):
     #: clients in flight (measured: 7.75 req/s locked vs 13+ unlocked).
     #: Light load pays at most one window on an already-coalesced batch.
     batch_admit_s: float = 0.02
+    #: absolute ceiling on the total straggler-admission wait, measured
+    #: from the first admit window: bounds the FIRST request's added
+    #: queueing delay even under a steady trickle of arrivals (without
+    #: it, each landing straggler extends the wait by another
+    #: batch_admit_s up to max_batch — a tail-latency cliff for 2-3
+    #: client workloads; ADVICE r4)
+    batch_admit_max_s: float = 0.08
     #: serve with one engine replica per chip (the CT2 device_index
     #: analog); "auto" enables it when >1 device is visible
     replica_pool: str = "auto"
@@ -187,6 +205,22 @@ class APISettings(BaseModel):
 
     def batch_bucket_list(self) -> List[int]:
         return sorted(int(b) for b in self.batch_buckets)
+
+    def beam_bucket(self, beam: int) -> int:
+        """Round a requested beam size UP to the nearest compiled beam
+        bucket; reject out-of-range values. Every caller that lets a
+        request choose a beam (query param, WS message, RTC offer) must
+        pass it through here BEFORE it can reach the program cache."""
+        buckets = sorted(int(b) for b in self.beam_buckets)
+        if not isinstance(beam, int) or beam < 1 or beam > buckets[-1]:
+            raise ValueError(
+                f"beam_size {beam!r} outside compiled beam buckets "
+                f"{buckets} (max {buckets[-1]})"
+            )
+        for b in buckets:
+            if beam <= b:
+                return b
+        return buckets[-1]
 
     def audio_second_bucket_list(self) -> List[int]:
         return sorted(int(b) for b in self.audio_second_buckets)

@@ -63,4 +63,11 @@ class StageTimer:
         return (time.perf_counter() - self._t0) * 1000.0
 
     def as_dict(self) -> Dict[str, float]:
-        return {s.name: round(s.ms, 3) for s in self.spans}
+        """Spans sharing a name SUM (a chunked request dispatches one
+        `asr_dispatch` span per window group — overwriting would fold
+        earlier groups' device time into callers' host-side subtraction,
+        e.g. bench.py's `infer_time - asr_dispatch`; ADVICE r4)."""
+        out: Dict[str, float] = {}
+        for s in self.spans:
+            out[s.name] = round(out.get(s.name, 0.0) + s.ms, 3)
+        return out
