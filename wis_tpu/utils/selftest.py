@@ -288,7 +288,9 @@ def xtts_selftest(forward: bool = True) -> Dict:
     assert gpt_params["blocks"]["mlp_w1"].shape == (L, D, 4 * D)
     assert gpt_params["text_emb"].shape == (cfg.gpt.n_text_vocab, D)
     assert gpt_params["head_w"].shape == (D, cfg.gpt.n_audio_vocab)
-    assert voc_params["ups"][0]["w"].shape[2] == cfg.vocoder.upsample_initial // 2
+    # transposed-conv weights land as (k, out, in)
+    assert voc_params["ups"][0]["w"].shape[1] == cfg.vocoder.upsample_initial // 2
+    assert voc_params["ups"][0]["w"].shape[2] == cfg.vocoder.upsample_initial
 
     report = {
         "model": "xtts-v2",
@@ -308,8 +310,8 @@ def xtts_selftest(forward: bool = True) -> Dict:
         from wis_tpu.models.xtts.hifigan import hifigan_forward
 
         t0 = time.perf_counter()
-        latents = jnp.zeros((1, 8, cfg.vocoder.in_dim), jnp.float32)
-        speaker = jnp.zeros((1, cfg.vocoder.cond_dim), jnp.float32)
+        latents = jnp.zeros((1, 8, cfg.vocoder.in_dim), jnp.bfloat16)
+        speaker = jnp.zeros((1, cfg.vocoder.cond_dim), jnp.bfloat16)
         wav = hifigan_forward(voc_params, latents, speaker, cfg.vocoder)
         if not np.isfinite(np.asarray(wav, np.float32)).all():
             raise AssertionError("non-finite vocoder output at full dims")

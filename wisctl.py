@@ -114,6 +114,13 @@ def cmd_convert_model(args) -> int:
     import json
 
     if args.selftest:
+        # converter validation is device-agnostic — force CPU so the
+        # full-dims forward never pays a remote TPU compile (the env var
+        # JAX_PLATFORMS=cpu alone is overridden by this machine's site
+        # hook; the programmatic config is authoritative)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         if args.size == "xtts":
             from wis_tpu.utils.selftest import xtts_selftest
 
