@@ -392,3 +392,76 @@ def test_quant_int4_setting_aliases_int8():
     assert isinstance(res.text, str)
     loaded = eng.registry.get("tiny")
     assert isinstance(eng._packed_decoder(loaded), PackedDecoder)
+
+
+def test_kernel_xa_int8_matches_reference():
+    """xa_int8 kernel vs the mirror running the identical scaled-dot
+    math, plus closeness to the bf16 cross-KV output (quant noise only)."""
+    from wis_tpu.ops.fused_decode import quantize_xa_columns
+
+    n_written = 7
+    (params, packed, x_emb, k_cache, v_cache, xa_k, xa_v, sel, _) = _setup(
+        n_written=n_written
+    )
+    kc_flat = _tmajor(k_cache)
+    vc_flat = _tmajor(v_cache)
+    qk, qv, xa_s = quantize_xa_columns(xa_k, xa_v)
+    step = build_fused_decode_step(
+        CFG, bk=BK, t_cache=T, s_audio=S, xa_int8=True
+    )
+    x_out, kc_out, vc_out = jax.jit(step)(
+        packed, x_emb, kc_flat, vc_flat, qk, qv, xa_s, sel,
+        jnp.int32(n_written),
+    )
+    x_ref, kc_ref, vc_ref = fused_decode_step_reference(
+        CFG, packed, x_emb, kc_flat, vc_flat, qk, qv, sel,
+        pos=n_written, xa_s=xa_s,
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_out), np.asarray(x_ref), rtol=2e-2, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(kc_out, np.float32), np.asarray(kc_ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    # int8 cross-KV stays within quant noise of the bf16 stream
+    x_full, _, _ = fused_decode_step_reference(
+        CFG, packed, x_emb, kc_flat, vc_flat, xa_k, xa_v, sel,
+        pos=n_written,
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_out), np.asarray(x_full), rtol=0.1, atol=0.1
+    )
+
+
+def test_generate_xa_int8_close_to_bf16():
+    """The full fused beam program with xa_int8 produces scores within
+    quant noise of the bf16-stream program (tokens may legitimately
+    differ on random micro weights when candidates are near-ties, so the
+    contract is score closeness on the same forced prefix)."""
+    from wis_tpu.decoding.beam import build_generate_xa, build_encode
+
+    params = quantize_whisper_params(
+        random_params(CFG, seed=5, dtype=jnp.bfloat16)
+    )
+    packed = pack_decoder(params, CFG)
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(
+        rng.standard_normal((1, CFG.n_mels, 2 * CFG.n_audio_ctx)) * 0.3,
+        jnp.float32,
+    )
+    xa_kv = build_encode(CFG)(params, mel)
+    prompt = jnp.asarray([3, 7], jnp.int32)
+    kw = dict(
+        beam_size=2, batch=1, max_new_tokens=6, prompt_len=2,
+        suppress_tokens=(), begin_suppress_tokens=(),
+    )
+    r8 = build_generate_xa(CFG, fused=True, xa_int8=True, **kw)(
+        params, packed, xa_kv, prompt, jnp.int32(6)
+    )
+    rb = build_generate_xa(CFG, fused=True, **kw)(
+        params, packed, xa_kv, prompt, jnp.int32(6)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r8.scores), np.asarray(rb.scores), rtol=0.15, atol=0.15
+    )

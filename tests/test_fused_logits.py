@@ -108,3 +108,52 @@ def test_fused_logits_timestamp_grammar():
     assert (t0 >= eot).all()
     assert (np.asarray(got_t)[1] < ts_base).all()
     assert (np.asarray(got_t)[2][np.asarray(got_t)[2] >= ts_base] >= 1000).all()
+
+
+def test_fused_logits_int8_emb_matches_xla_int8_tail():
+    """emb_int8=True must equal the XLA int8 logits tail exactly (both
+    dot the int8 rows in bf16 — exact, int8 fits the mantissa — and
+    scale after the contraction; models/whisper/model.py mirrors this)."""
+    from wis_tpu.ops.quant import quantize_rows
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((BK, D)), jnp.float32)
+    g = jnp.asarray(1 + rng.standard_normal(D) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((V, D)) * 0.3, jnp.bfloat16)
+    leaf = quantize_rows(emb)
+    sup = np.zeros(V, np.float32)
+    sup[rng.integers(0, V, 50)] = -1e30
+    sup = jnp.asarray(sup)
+
+    head = build_fused_logits_topk(CFG, bk=BK, k=K, emb_int8=True)
+    got_v, got_t, got_lse = jax.jit(head)(x, g, b, leaf, sup)
+
+    def _xla_int8_tail(x, g, b, leaf, sup):
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, -1, keepdims=True)
+        var = jnp.var(x32, -1, keepdims=True)
+        xn = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * g + b).astype(
+            jnp.bfloat16
+        )
+        logits = jnp.einsum(
+            "bd,vd->bv", xn, leaf["q"].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) * leaf["s"][:, 0][None, :] + sup[None, :]
+        val, tok = jax.lax.top_k(logits, K)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+        return val, tok, lse
+
+    want_v, want_t, want_lse = _xla_int8_tail(x, g, b, leaf, sup)
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.asarray(want_v), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_lse), np.asarray(want_lse), rtol=1e-4, atol=1e-4
+    )
+    # the int8 approximation itself stays within quant noise of bf16
+    full = _xla_tail(x, g, b, emb, sup)
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.asarray(full[0]), rtol=0.05, atol=0.05
+    )

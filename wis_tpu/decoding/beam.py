@@ -153,11 +153,19 @@ def build_generate_xa(
     with_timestamps: bool = False,
     ancestry: bool = True,
     fused: bool = False,
+    xa_int8: bool = False,
     renorm_suppressed: bool = True,
     eot_id: Optional[int] = None,
     max_initial_ts_index: Optional[int] = 50,
 ):
     """Return a jitted generate(params, xa_kv, prompt, token_cap) program.
+
+    xa_int8 (fused only): the hoisted cross-attention K/V quantizes to
+    per-column int8 before the decode loop (ops/fused_decode.
+    quantize_xa_columns) — half the dominant per-step cross-KV stream.
+    The scale applies outside the contraction, so it is exact dequant
+    semantics over int8-rounded values; rounding noise is the same class
+    as the int8 weight quantization production already runs.
 
     xa_kv: precomputed cross-attention K/V for `batch` windows (from
     build_encode); prompt: (prompt_len,) shared across the batch (the
@@ -223,16 +231,21 @@ def build_generate_xa(
         cache_len = ((cache_len + 127) // 128) * 128
         step_fn = build_fused_decode_step(
             cfg, bk=BK, t_cache=cache_len, s_audio=cfg.n_audio_ctx,
-            n_seq=B,
+            n_seq=B, xa_int8=xa_int8,
         )
         # the decode tail (LN + logits + top-k + lse) fuses too; the
         # timestamp grammar folds in as per-beam int32 scalars compared
-        # against the kernel's global column ids
-        head_fn = build_fused_logits_topk(
-            cfg, bk=BK, k=KC, grammar=with_timestamps,
+        # against the kernel's global column ids. Two variants — bf16
+        # embedding, and per-row int8 (half the head's HBM traffic) —
+        # are both constructed (cheap closures); which one traces is
+        # decided by the params pytree (quantized trees carry tok_emb_q)
+        _head_kw = dict(
+            bk=BK, k=KC, grammar=with_timestamps,
             ts_base=TIMESTAMP_BASE, eot=eot,
             full_lse=not renorm_suppressed,
         )
+        head_fn = build_fused_logits_topk(cfg, **_head_kw)
+        head_fn_q = build_fused_logits_topk(cfg, emb_int8=True, **_head_kw)
         H = cfg.n_text_head
         Dh = cfg.n_text_state // H
         L = cfg.n_text_layer
@@ -314,6 +327,11 @@ def build_generate_xa(
 
             xa_k_f = _flat_xa(xa_kv[0])
             xa_v_f = _flat_xa(xa_kv[1])
+            xa_s_f = None
+            if xa_int8:
+                from wis_tpu.ops.fused_decode import quantize_xa_columns
+
+                xa_k_f, xa_v_f, xa_s_f = quantize_xa_columns(xa_k_f, xa_v_f)
         else:
             cache_bk = DecoderCache(
                 jnp.repeat(cache0.k, K, axis=1),
@@ -359,10 +377,16 @@ def build_generate_xa(
                 )
                 # the kernel injects this step's K/V columns into the
                 # aliased cache buffers itself — zero XLA-side cache ops
-                x_out, kc_, vc_ = step_fn(
-                    packed, x_emb, cache.k, cache.v,
-                    xa_k_f, xa_v_f, sel, cache.pos,
-                )
+                if xa_int8:
+                    x_out, kc_, vc_ = step_fn(
+                        packed, x_emb, cache.k, cache.v,
+                        xa_k_f, xa_v_f, xa_s_f, sel, cache.pos,
+                    )
+                else:
+                    x_out, kc_, vc_ = step_fn(
+                        packed, x_emb, cache.k, cache.v,
+                        xa_k_f, xa_v_f, sel, cache.pos,
+                    )
                 new_cache = DecoderCache(kc_, vc_, cache.pos + 1)
                 new_anc = jax.lax.dynamic_update_index_in_dim(
                     anc,
@@ -396,10 +420,16 @@ def build_generate_xa(
                         ],
                         axis=1,
                     )
-                cand_val, cand_tok, lse = head_fn(
-                    x_out, dec["ln"]["g"], dec["ln"]["b"],
-                    dec["tok_emb"], sup, ts_state,
-                )
+                if "tok_emb_q" in dec:
+                    cand_val, cand_tok, lse = head_fn_q(
+                        x_out, dec["ln"]["g"], dec["ln"]["b"],
+                        dec["tok_emb_q"], sup, ts_state,
+                    )
+                else:
+                    cand_val, cand_tok, lse = head_fn(
+                        x_out, dec["ln"]["g"], dec["ln"]["b"],
+                        dec["tok_emb"], sup, ts_state,
+                    )
                 return cand_val, cand_tok, lse, new_cache, new_anc
 
             if ancestry:
@@ -770,6 +800,7 @@ def build_generate(
     with_timestamps: bool = False,
     ancestry: bool = True,
     fused: bool = False,
+    xa_int8: bool = False,
     renorm_suppressed: bool = True,
     eot_id: Optional[int] = None,
     max_initial_ts_index: Optional[int] = 50,
@@ -791,6 +822,7 @@ def build_generate(
         with_timestamps=with_timestamps,
         ancestry=ancestry,
         fused=fused,
+        xa_int8=xa_int8,
         renorm_suppressed=renorm_suppressed,
         eot_id=eot_id,
         max_initial_ts_index=max_initial_ts_index,

@@ -50,6 +50,7 @@ def build_asr_program(
     length_penalty: float = 1.0,
     with_timestamps: bool = False,
     fused_step: bool = False,
+    xa_int8: bool = False,
     n_samples: int = N_SAMPLES,
     chunked: bool = False,
 ):
@@ -101,6 +102,7 @@ def build_asr_program(
         length_penalty=length_penalty,
         with_timestamps=with_timestamps,
         fused=fused_step,
+        xa_int8=fused_step and xa_int8,
     )
 
     def _asr(params, packed_dec, audio_i16, ctl):

@@ -408,9 +408,21 @@ def _decoder_pass(
         (dec["blocks"], xa_k, xa_v, jnp.arange(cfg.n_text_layer)),
     )
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
-    logits = jnp.einsum(
-        "btd,vd->btv", x, dec["tok_emb"].astype(x.dtype), preferred_element_type=jnp.float32
-    )
+    if "tok_emb_q" in dec:
+        # per-row int8 logits matmul (ops/quant.quantize_rows): the dot
+        # runs on the int8 rows (exact in bf16 — int8 fits the mantissa)
+        # and each vocab row's scale applies AFTER the contraction; the
+        # fused head (ops/fused_logits emb_int8) does the identical math
+        eq = dec["tok_emb_q"]
+        logits = jnp.einsum(
+            "btd,vd->btv", x, eq["q"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ) * eq["s"][:, 0][None, None, :]
+    else:
+        logits = jnp.einsum(
+            "btd,vd->btv", x, dec["tok_emb"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
     new_cache = DecoderCache(new_k, new_v, pos_offset + t)
     return logits, new_cache
 

@@ -152,7 +152,7 @@ def _ln(x32, g, b):
 
 def fused_step_vmem_bytes(
     cfg: WhisperConfig, bk: int, t_cache: int, n_seq: int = 1,
-    s_audio: int = 1500,
+    s_audio: int = 1500, xa_int8: bool = False,
 ) -> int:
     """Estimate of the kernel's scoped-VMEM footprint (mirrors the
     scratch_shapes list in build_fused_decode_step plus the weight/LN
@@ -168,7 +168,10 @@ def fused_step_vmem_bytes(
     s_pad = ((s_audio + 127) // 128) * 128
     SX = n_seq * s_pad
     g_x = _pick_groups(H, Dh * SX, 1 << 20)
-    xa_buf = 2 * 2 * g_x * Dh * SX * 2
+    xa_elem = 1 if xa_int8 else 2
+    xa_buf = 2 * 2 * g_x * Dh * SX * xa_elem
+    if xa_int8:
+        xa_buf += 2 * H * SX * 4  # per-column scale block (f32)
     cache_budget = (1 << 20) if xa_buf <= (6 << 20) else (1 << 19)
     g_c = _pick_groups(H, Dh * BKT, cache_budget)
     cache_buf = 2 * 2 * g_c * Dh * BKT * 2
@@ -185,10 +188,21 @@ def build_fused_decode_step(
     t_cache: int,  # cache length, multiple of 128
     s_audio: int = 1500,
     n_seq: int = 1,
+    xa_int8: bool = False,
     _skip: tuple = (),  # probe-only: {"w","cache","xa"} disable a stream
 ):
     """Return fn(packed, x_emb, k_cache, v_cache, xa_k, xa_v, sel, pos)
       -> (x_out (BK, D) f32, k_cache', v_cache')
+
+    xa_int8=True: xa_k/xa_v stream as per-COLUMN int8 (each audio
+    position's Dh-vector shares one scale) and the step takes an extra
+    `xa_s (L, 2H, SX) f32` operand (row 2h = K scales, 2h+1 = V scales);
+    scores scale after the K dot and attention weights scale before the
+    V dot — mathematically identical to dequantize-then-dot (the scale
+    is constant along the contraction), at HALF the dominant per-step
+    cross-KV HBM traffic (~250 MB/step/window on large-v2). Signature
+    becomes fn(packed, x_emb, k_cache, v_cache, xa_k, xa_v, xa_s, sel,
+    pos).
 
     x_emb:   (BK, D) f32 — token+pos embedding for this step
     k/v_cache: (L, D, BK*T) bf16 — TIME-MAJOR flat columns
@@ -250,17 +264,25 @@ def build_fused_decode_step(
     def kernel(
         # scalar prefetch
         pos_ref,
-        # blocked inputs
+        # blocked inputs (xas_ref present only when xa_int8)
         s_ref, b_ref, ln_ref, x_in, sel_ref,
-        # ANY (HBM) inputs
-        w_hbm, kc_hbm, vc_hbm, xak_hbm, xav_hbm,
-        # outputs (kc_out/vc_out alias kc/vc_hbm; written by slab DMA)
-        x_out, kc_out, vc_out,
-        # scratch
-        x, h, qkv, attn, ctx, gbuf, yacc,
-        wbuf, kbuf, vbuf, xakbuf, xavbuf,
-        wsem, ksem, vsem, xaksem, xavsem, kwsem, vwsem,
+        *rest,
     ):
+        if xa_int8:
+            xas_ref = rest[0]
+            rest = rest[1:]
+        else:
+            xas_ref = None
+        (
+            # ANY (HBM) inputs
+            w_hbm, kc_hbm, vc_hbm, xak_hbm, xav_hbm,
+            # outputs (kc_out/vc_out alias kc/vc_hbm; written by slab DMA)
+            x_out, kc_out, vc_out,
+            # scratch
+            x, h, qkv, attn, ctx, gbuf, yacc,
+            wbuf, kbuf, vbuf, xakbuf, xavbuf,
+            wsem, ksem, vsem, xaksem, xavsem, kwsem, vwsem,
+        ) = rest
         l = pl.program_id(0)
         pos = pos_ref[0]
 
@@ -466,14 +488,21 @@ def build_fused_decode_step(
             for hl in range(g_x):
                 hh = grp * g_x + hl
                 q_h = qkv[:, hh * Dh : (hh + 1) * Dh]
+                k_slab = xakbuf[gslot, hl]
+                if xa_int8:
+                    k_slab = k_slab.astype(jnp.bfloat16)
                 scores = (
                     jnp.dot(
                         q_h.astype(jnp.bfloat16),
-                        xakbuf[gslot, hl],
+                        k_slab,
                         preferred_element_type=jnp.float32,
                     )
                     * scale
                 )  # (BK, SX)
+                if xa_int8:
+                    # per-column K scales apply AFTER the dot (constant
+                    # along the contraction — exact dequant semantics)
+                    scores = scores * xas_ref[0, 2 * hh][None, :]
                 if s_pad != s_audio or n_seq > 1:
                     col = jax.lax.broadcasted_iota(
                         jnp.int32, (bk, SX), 1
@@ -488,9 +517,14 @@ def build_fused_decode_step(
                         ok = ok & (col // s_pad == row // k_beam)
                     scores = jnp.where(ok, scores, NEG)
                 w_att = jax.nn.softmax(scores, axis=-1)
+                v_slab = xavbuf[gslot, hl]
+                if xa_int8:
+                    # V scales fold into the attention weights pre-dot
+                    w_att = w_att * xas_ref[0, 2 * hh + 1][None, :]
+                    v_slab = v_slab.astype(jnp.bfloat16)
                 ctx_h = jax.lax.dot_general(
                     w_att.astype(jnp.bfloat16),
-                    xavbuf[gslot, hl],
+                    v_slab,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -537,26 +571,36 @@ def build_fused_decode_step(
                     vwdma(g, g % 2).wait()
             x_out[:] = x[:]
 
+    xa_dtype = jnp.int8 if xa_int8 else jnp.bfloat16
+    in_specs = [
+        pl.BlockSpec((1, NC, s_rows, D), lambda l, pos: (l, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NC, 1, D), lambda l, pos: (l, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 6, D), lambda l, pos: (l, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, D), lambda l, pos: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, BKT), lambda l, pos: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if xa_int8:
+        # per-layer K/V column scales ride the auto-pipelined block path
+        in_specs.append(
+            pl.BlockSpec((1, 2 * H, SX), lambda l, pos: (l, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    in_specs += [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(L,),
-        in_specs=[
-            pl.BlockSpec((1, NC, s_rows, D), lambda l, pos: (l, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NC, 1, D), lambda l, pos: (l, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6, D), lambda l, pos: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, D), lambda l, pos: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, BKT), lambda l, pos: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((bk, D), lambda l, pos: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -574,8 +618,8 @@ def build_fused_decode_step(
             pltpu.VMEM((2, w_rows, D), jnp.int8),  # wbuf
             pltpu.VMEM((2, g_c * Dh, BKT), jnp.bfloat16),     # kbuf
             pltpu.VMEM((2, g_c * Dh, BKT), jnp.bfloat16),     # vbuf
-            pltpu.VMEM((2, g_x, Dh, SX), jnp.bfloat16),  # xakbuf
-            pltpu.VMEM((2, g_x, Dh, SX), jnp.bfloat16),  # xavbuf
+            pltpu.VMEM((2, g_x, Dh, SX), xa_dtype),  # xakbuf
+            pltpu.VMEM((2, g_x, Dh, SX), xa_dtype),  # xavbuf
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -586,6 +630,10 @@ def build_fused_decode_step(
         ],
     )
 
+    # flattened-input indices (0 = the pos scalar): the k/v cache inputs
+    # alias the cache outputs 1, 2 — the decode loop never copies the
+    # cache. The xas block (when present) shifts the ANY inputs by one.
+    kc_idx = 8 if xa_int8 else 7
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -594,22 +642,51 @@ def build_fused_decode_step(
             jax.ShapeDtypeStruct((L, D, BKT), jnp.bfloat16),
             jax.ShapeDtypeStruct((L, D, BKT), jnp.bfloat16),
         ],
-        # flattened-input indices (0 = the pos scalar): kc=7, vc=8 alias
-        # the cache outputs 1, 2 — the decode loop never copies the cache
-        input_output_aliases={7: 1, 8: 2},
+        input_output_aliases={kc_idx: 1, kc_idx + 1: 2},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=jax.default_backend() == "cpu",
     )
 
-    def step(packed, x_emb, k_cache, v_cache, xa_k, xa_v, sel, pos):
-        # packed: PackedDecoder (kernel-layout int8 chunks)
-        return call(
-            jnp.asarray(pos, jnp.int32).reshape(1),
-            packed.s, packed.b, packed.ln, x_emb, sel,
-            packed.w, k_cache, v_cache, xa_k, xa_v,
-        )
+    if xa_int8:
+        def step(packed, x_emb, k_cache, v_cache, xa_k, xa_v, xa_s, sel,
+                 pos):
+            return call(
+                jnp.asarray(pos, jnp.int32).reshape(1),
+                packed.s, packed.b, packed.ln, x_emb, sel, xa_s,
+                packed.w, k_cache, v_cache, xa_k, xa_v,
+            )
+    else:
+        def step(packed, x_emb, k_cache, v_cache, xa_k, xa_v, sel, pos):
+            # packed: PackedDecoder (kernel-layout int8 chunks)
+            return call(
+                jnp.asarray(pos, jnp.int32).reshape(1),
+                packed.s, packed.b, packed.ln, x_emb, sel,
+                packed.w, k_cache, v_cache, xa_k, xa_v,
+            )
 
     return step
+
+
+def quantize_xa_columns(xa_k_f, xa_v_f):
+    """Per-COLUMN int8 quantization of the kernel-layout cross-KV
+    ((L, H, Dh, SX): each audio position's Dh-vector shares one scale).
+    Returns (qk, qv int8, xa_s (L, 2H, SX) f32 — row 2h = K scales,
+    2h+1 = V scales), the operands of an xa_int8 fused step."""
+
+    def q_cols(x):
+        x32 = x.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(x32), axis=2, keepdims=True)
+        scale = jnp.maximum(absmax, 1e-8) / 127.0
+        q = jnp.clip(jnp.rint(x32 / scale), -127, 127).astype(jnp.int8)
+        return q, scale
+
+    qk, ks = q_cols(xa_k_f)
+    qv, vs = q_cols(xa_v_f)
+    L, H, _, SX = xa_k_f.shape
+    xa_s = jnp.stack([ks[:, :, 0, :], vs[:, :, 0, :]], axis=2).reshape(
+        L, 2 * H, SX
+    )
+    return qk, qv, xa_s
 
 
 # --------------------------------------------------------------------- #
@@ -617,7 +694,7 @@ def build_fused_decode_step(
 # --------------------------------------------------------------------- #
 def fused_decode_step_reference(
     cfg: WhisperConfig, packed: PackedDecoder, x_emb, k_cache, v_cache,
-    xa_k, xa_v, sel, pos=None, n_seq=1, s_audio=None,
+    xa_k, xa_v, sel, pos=None, n_seq=1, s_audio=None, xa_s=None,
 ):
     """Mirror of the kernel math (caches flat (L, D, BK*T), TIME-MAJOR
     columns like the kernel). With `pos` given, also returns the caches
@@ -696,19 +773,28 @@ def fused_decode_step_reference(
         ctxs = []
         for hh in range(H):
             q_h = qc[:, hh * Dh : (hh + 1) * Dh]
+            k_slab = xa_k[l, hh]
+            if xa_s is not None:
+                k_slab = k_slab.astype(jnp.bfloat16)
             scores = (
                 jnp.dot(
-                    q_h.astype(jnp.bfloat16), xa_k[l, hh],
+                    q_h.astype(jnp.bfloat16), k_slab,
                     preferred_element_type=jnp.float32,
                 )
                 * scale
             )
+            if xa_s is not None:
+                scores = scores * xa_s[l, 2 * hh][None, :]
             if xa_mask is not None:
                 scores = jnp.where(xa_mask, scores, NEG)
             w_att = jax.nn.softmax(scores, axis=-1)
+            v_slab = xa_v[l, hh]
+            if xa_s is not None:
+                w_att = w_att * xa_s[l, 2 * hh + 1][None, :]
+                v_slab = v_slab.astype(jnp.bfloat16)
             ctxs.append(
                 jnp.einsum(
-                    "bt,dt->bd", w_att.astype(jnp.bfloat16), xa_v[l, hh],
+                    "bt,dt->bd", w_att.astype(jnp.bfloat16), v_slab,
                     preferred_element_type=jnp.float32,
                 )
             )

@@ -54,10 +54,17 @@ def build_fused_logits_topk(
     ts_base: int = 0,
     eot: int = 0,
     full_lse: bool = False,
+    emb_int8: bool = False,
 ):
     """Return fn(x (bk, D) f32, ln_g, ln_b (D,), emb (V, D) bf16,
     sup (1, V_pad) f32[, ts_state (bk, 4) i32]) → (cand_val (bk, k) f32,
     cand_tok (bk, k) i32, lse (bk, 1) f32).
+
+    emb_int8=True: `emb` is the per-row int8 QuantLeaf
+    (ops/quant.quantize_rows of tok_emb) — the kernel streams HALF the
+    embedding bytes (66 vs 133 MB/step on large-v2, the head's dominant
+    cost) and applies each row's scale after the chunk dot, identical
+    math to the XLA logits tail (models/whisper/model.py).
 
     grammar=True adds whisper's timestamp grammar as in-kernel masking.
     ts_state columns: [0] need_ts (no plain-text token may follow an
@@ -80,7 +87,13 @@ def build_fused_logits_topk(
     nch = (V + CHUNK - 1) // CHUNK
     v_pad = nch * CHUNK
 
-    def kernel(x_in, ln_ref, emb_ref, sup_ref, *rest):
+    def kernel(x_in, ln_ref, emb_ref, *rest):
+        if emb_int8:
+            es_ref, sup_ref = rest[0], rest[1]
+            rest = rest[2:]
+        else:
+            sup_ref = rest[0]
+            rest = rest[1:]
         if grammar:
             ts_ref = rest[0]
             (
@@ -89,7 +102,7 @@ def build_fused_logits_topk(
                 xn, m, sacc, m_ts, s_ts, m_text,
             ) = rest[1:]
         else:
-            (val_out, idx_out, m_out, s_out, xn, m, sacc) = rest[0:]
+            (val_out, idx_out, m_out, s_out, xn, m, sacc) = rest
         c = pl.program_id(0)
 
         @pl.when(c == 0)
@@ -108,10 +121,12 @@ def build_fused_logits_topk(
                 m_text[:] = jnp.full_like(m_text, NEG)
 
         dot = jax.lax.dot_general(
-            xn[:], emb_ref[:],
+            xn[:], emb_ref[:].astype(jnp.bfloat16) if emb_int8 else emb_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (bk, CHUNK)
+        if emb_int8:
+            dot = dot * es_ref[0][None, :]  # per-vocab-row scales
         col = jax.lax.broadcasted_iota(jnp.int32, (bk, CHUNK), 1)
         gcol = col + c * CHUNK
         pad_ok = gcol < V
@@ -190,9 +205,15 @@ def build_fused_logits_topk(
         pl.BlockSpec((2, D), lambda c: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((CHUNK, D), lambda c: (c, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, CHUNK), lambda c: (0, c),
-                     memory_space=pltpu.VMEM),
     ]
+    if emb_int8:
+        in_specs.append(
+            pl.BlockSpec((1, CHUNK), lambda c: (0, c),
+                         memory_space=pltpu.VMEM)
+        )
+    in_specs.append(
+        pl.BlockSpec((1, CHUNK), lambda c: (0, c), memory_space=pltpu.VMEM)
+    )
     if grammar:
         in_specs.append(
             pl.BlockSpec((bk, 4), lambda c: (0, 0), memory_space=pltpu.VMEM)
@@ -256,9 +277,14 @@ def build_fused_logits_topk(
     def head(x, ln_g, ln_b, emb, sup, ts_state=None):
         """→ (cand_val (bk, k) f32 suppressed logits, cand_tok (bk, k)
         i32, lse (bk, 1) f32) — drop-in for the XLA
-        top_k(logits + sup) + logsumexp tail."""
+        top_k(logits + sup) + logsumexp tail. With emb_int8, `emb` is
+        the quantize_rows leaf {"q": (V, D) i8, "s": (V, 1) f32}."""
         ln = jnp.stack([ln_g, ln_b]).astype(jnp.float32)
-        args = (x, ln, emb, sup.reshape(1, -1))
+        if emb_int8:
+            args = (x, ln, emb["q"], emb["s"].reshape(1, -1),
+                    sup.reshape(1, -1))
+        else:
+            args = (x, ln, emb, sup.reshape(1, -1))
         if grammar:
             args = args + (ts_state,)
             cv, ci, m, s, cv2, ci2, mts, sts, mtext = call(*args)

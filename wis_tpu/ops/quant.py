@@ -49,6 +49,24 @@ def dequantize(w: QuantLeaf, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (w["q"].astype(jnp.float32) * w["s"]).astype(dtype)
 
 
+@jax.jit
+def _quantize_rows_on_device(w: jnp.ndarray):
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.rint(w32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_rows(w: jnp.ndarray) -> QuantLeaf:
+    """Per-ROW symmetric int8 (scale over the LAST axis): the layout for
+    operands contracted along their last axis against an activation —
+    e.g. the (V, D) tok_emb read by the logits head, where each vocab
+    row's logit scales by that row's own factor AFTER the dot."""
+    q, scale = _quantize_rows_on_device(jnp.asarray(w))
+    return {"q": q, "s": scale}
+
+
 def qmatmul(x: jnp.ndarray, w: Weight) -> jnp.ndarray:
     """x (..., K) @ w (K, N) with transparent int8 dispatch. Output dtype
     follows x."""
@@ -127,6 +145,17 @@ def quantize_whisper_params(params: Dict, keys=None, subtrees=("decoder",)) -> D
     for sub in subtrees:
         if sub in out:
             out[sub] = walk(out[sub])
+    if "decoder" in subtrees and "decoder" in out:
+        # A second, per-row int8 copy of tok_emb for the LOGITS matmul
+        # only (the (V, D) embedding re-reads every decode step — 133 MB
+        # on large-v2; int8 halves it). The bf16 original stays for
+        # embedding lookups. Both the fused head (ops/fused_logits) and
+        # the XLA logits tail (models/whisper/model.py) consume it, so
+        # the two decode paths keep identical numerics.
+        dec = dict(out["decoder"])
+        if isinstance(dec.get("tok_emb"), jnp.ndarray):
+            dec["tok_emb_q"] = quantize_rows(dec["tok_emb"])
+            out["decoder"] = dec
     return out
 
 

@@ -180,20 +180,35 @@ def expand_specs_for_quant(specs, params) -> dict:
     A quantized leaf {"q": (..., K, N), "s": (..., 1, N)} inherits the
     original weight's spec for "q"; the per-output-channel scale "s"
     shards along the same output axis (the spec's last entry) and
-    replicates otherwise.
+    replicates otherwise. Per-ROW quantized leaves (quantize_rows:
+    "s" (..., R, 1), e.g. the tok_emb_q logits copy) shard their scale
+    along the leading axes instead. Keys with no spec entry fall back to
+    their base weight's spec ("tok_emb_q" → "tok_emb").
     """
     from wis_tpu.ops.quant import is_quantized
 
-    def walk(spec, param):
-        if is_quantized(param):
-            s_spec = P(*((None,) * (len(spec) - 1) + (spec[-1],))) if len(spec) else P()
-            return {"q": spec, "s": s_spec}
-        if isinstance(param, dict):
-            return {k: walk(spec[k] if isinstance(spec, dict) else spec, v)
-                    for k, v in param.items()}
+    def lookup(spec, k):
+        if isinstance(spec, dict):
+            if k in spec:
+                return spec[k]
+            if k.endswith("_q") and k[:-2] in spec:
+                return spec[k[:-2]]
         return spec
 
-    return {k: walk(specs[k], v) for k, v in params.items()}
+    def walk(spec, param):
+        if is_quantized(param):
+            if len(spec) and param["s"].shape[-1] == 1:
+                s_spec = P(*(tuple(spec[:-1]) + (None,)))
+            elif len(spec):
+                s_spec = P(*((None,) * (len(spec) - 1) + (spec[-1],)))
+            else:
+                s_spec = P()
+            return {"q": spec, "s": s_spec}
+        if isinstance(param, dict):
+            return {k: walk(lookup(spec, k), v) for k, v in param.items()}
+        return spec
+
+    return {k: walk(lookup(specs, k), v) for k, v in params.items()}
 
 
 def shard_params(params, mesh: Mesh, specs) -> dict:

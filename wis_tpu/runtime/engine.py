@@ -139,6 +139,7 @@ class WhisperEngine:
             if fused_step_vmem_bytes(
                 model.cfg, bk, t_cache, n_seq=batch,
                 s_audio=model.cfg.n_audio_ctx,
+                xa_int8=self._xa_int8(),
             ) > (15 << 20):
                 return False
         if mode == "on":
@@ -146,6 +147,15 @@ class WhisperEngine:
         import jax
 
         return jax.default_backend() == "tpu"
+
+    def _xa_int8(self) -> bool:
+        """Cross-KV int8 streaming inside the fused step (settings
+        xa_quant): active only alongside weight int8 — the quantized
+        params tree is what the fused path already serves."""
+        return (
+            getattr(self.settings, "xa_quant", "int8") == "int8"
+            and self.settings.quant in ("int8", "int4")
+        )
 
     def _program(self, model: LoadedModel, *, beam: int, batch: int,
                  prompt_len: int, detect: bool, translate: bool,
@@ -181,6 +191,7 @@ class WhisperEngine:
                 translate=translate,
                 with_timestamps=timestamps,
                 fused_step=fused,
+                xa_int8=self._xa_int8(),
                 n_samples=n_samples,
                 chunked=chunked,
             )

@@ -123,6 +123,13 @@ class APISettings(BaseModel):
     #: removed in round 3; "int4" now aliases "int8" (the RTN int4
     #: quantizer itself remains in ops/quant.py). See BENCH.md §int4.
     quant: str = "int8"
+    #: cross-attention K/V stream quantization inside the fused decode
+    #: step: "int8" streams per-column int8 cross-KV (half the dominant
+    #: per-step HBM traffic after weights; scales apply outside the
+    #: contraction — exact dequant semantics over int8-rounded values,
+    #: the same noise class as weight int8) | "none". Only active when
+    #: `quant` is int8 and the fused path runs.
+    xa_quant: str = "int8"
     #: XTTS GPT weight quantization: "none" | "int8". The chunked TTS
     #: decode streams the full 30L/1024d block stack per audio token —
     #: weight-bound like the whisper decoder, so int8 halves its HBM
