@@ -594,34 +594,44 @@ class XTTSModel:
         emitted = 0
 
         # Pipelined dispatch + OVERLAPPED fetches: up to `depth` chunks
-        # are in flight, each fetched to host by its own thread so the
+        # are in flight; each result starts its device→host copy
+        # asynchronously at dispatch time (copy_to_host_async), so the
         # ~27 ms tunnel round-trips overlap each other AND later chunks'
-        # device compute. With depth 1 the serial per-chunk fetch was the
-        # steady-state floor (probe_fused_gpt: device ≈ 12 ms/chunk,
-        # wall ≈ 30 ms); threaded fetches make the stream device-bound.
-        # State still chains on device in dispatch order; if chunk i says
-        # stop, the ≤depth speculative dispatches are simply abandoned
-        # (a few ms of wasted device time per utterance).
+        # device compute WITHOUT fetch threads — on this single-core
+        # host a thread pool measurably loses to async copies (GIL
+        # contention between fetch threads and the dispatching main
+        # thread: 21.7 vs 19 ms/chunk, and raising the pool depth made
+        # it worse — 28.8 ms at depth 6). State still chains on device
+        # in dispatch order; if chunk i says stop, the ≤depth
+        # speculative dispatches are simply abandoned (a few ms of
+        # wasted device time per utterance).
         import collections
-        from concurrent.futures import ThreadPoolExecutor
 
         depth = max(1, int(os.environ.get("XTTS_PIPELINE_DEPTH", "3")))
-        pool = ThreadPoolExecutor(max_workers=depth)
+
+        def _dispatch(st):
+            disp, st = launch(st)
+            try:
+                disp.copy_to_host_async()
+            except Exception:  # backend without async d2h: asarray blocks
+                pass
+            return disp, st
+
         inflight: "collections.deque" = collections.deque()
         dispatched = 0
         try:
             while dispatched < min(depth, max_chunks):
-                disp, state = launch(state)
-                inflight.append(pool.submit(np.asarray, disp))
+                disp, state = _dispatch(state)
+                inflight.append(disp)
                 dispatched += 1
             for i in range(max_chunks):
                 c_i = sizes[i]
-                arr = inflight.popleft().result()
+                arr = np.asarray(inflight.popleft())
                 valid = int(arr[-2])
                 done = bool(arr[-1])
                 if not done and valid == c_i and dispatched < max_chunks:
-                    disp, state = launch(state)
-                    inflight.append(pool.submit(np.asarray, disp))
+                    disp, state = _dispatch(state)
+                    inflight.append(disp)
                     dispatched += 1
 
                 if valid > 0:
@@ -661,7 +671,8 @@ class XTTSModel:
                 if done or valid < c_i:
                     break
         finally:
-            pool.shutdown(wait=True)
+            # drop abandoned speculative results so their buffers free
+            inflight.clear()
 
     def inference_stream_split(
         self, text: str, language: str, *args, enable_text_splitting: bool = False,

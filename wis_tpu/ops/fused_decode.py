@@ -171,7 +171,7 @@ def fused_step_vmem_bytes(
     xa_elem = 1 if xa_int8 else 2
     xa_buf = 2 * 2 * g_x * Dh * SX * xa_elem
     if xa_int8:
-        xa_buf += 2 * H * SX * 4  # per-column scale block (f32)
+        xa_buf += 2 * H * SX * 2  # per-column scale block (bf16)
     cache_budget = (1 << 20) if xa_buf <= (6 << 20) else (1 << 19)
     g_c = _pick_groups(H, Dh * BKT, cache_budget)
     cache_buf = 2 * 2 * g_c * Dh * BKT * 2
@@ -502,7 +502,9 @@ def build_fused_decode_step(
                 if xa_int8:
                     # per-column K scales apply AFTER the dot (constant
                     # along the contraction — exact dequant semantics)
-                    scores = scores * xas_ref[0, 2 * hh][None, :]
+                    scores = scores * xas_ref[0, 2 * hh][None, :].astype(
+                        jnp.float32
+                    )
                 if s_pad != s_audio or n_seq > 1:
                     col = jax.lax.broadcasted_iota(
                         jnp.int32, (bk, SX), 1
@@ -520,7 +522,9 @@ def build_fused_decode_step(
                 v_slab = xavbuf[gslot, hl]
                 if xa_int8:
                     # V scales fold into the attention weights pre-dot
-                    w_att = w_att * xas_ref[0, 2 * hh + 1][None, :]
+                    w_att = w_att * xas_ref[0, 2 * hh + 1][None, :].astype(
+                        jnp.float32
+                    )
                     v_slab = v_slab.astype(jnp.bfloat16)
                 ctx_h = jax.lax.dot_general(
                     w_att.astype(jnp.bfloat16),
@@ -676,8 +680,13 @@ def quantize_xa_columns(xa_k_f, xa_v_f):
     def q_cols(x):
         x32 = x.astype(jnp.float32)
         absmax = jnp.max(jnp.abs(x32), axis=2, keepdims=True)
-        scale = jnp.maximum(absmax, 1e-8) / 127.0
-        q = jnp.clip(jnp.rint(x32 / scale), -127, 127).astype(jnp.int8)
+        # scales STREAM per step (2H·SX per layer): store them bf16 and
+        # quantize against the bf16-rounded value so dequant is exactly
+        # consistent — f32 scales measurably eat the bandwidth saving
+        scale = (jnp.maximum(absmax, 1e-8) / 127.0).astype(jnp.bfloat16)
+        q = jnp.clip(
+            jnp.rint(x32 / scale.astype(jnp.float32)), -127, 127
+        ).astype(jnp.int8)
         return q, scale
 
     qk, ks = q_cols(xa_k_f)
@@ -784,13 +793,15 @@ def fused_decode_step_reference(
                 * scale
             )
             if xa_s is not None:
-                scores = scores * xa_s[l, 2 * hh][None, :]
+                scores = scores * xa_s[l, 2 * hh][None, :].astype(jnp.float32)
             if xa_mask is not None:
                 scores = jnp.where(xa_mask, scores, NEG)
             w_att = jax.nn.softmax(scores, axis=-1)
             v_slab = xa_v[l, hh]
             if xa_s is not None:
-                w_att = w_att * xa_s[l, 2 * hh + 1][None, :]
+                w_att = w_att * xa_s[l, 2 * hh + 1][None, :].astype(
+                    jnp.float32
+                )
                 v_slab = v_slab.astype(jnp.bfloat16)
             ctxs.append(
                 jnp.einsum(

@@ -84,6 +84,9 @@ def build_fused_logits_topk(
     assert k <= KPAD
     D = cfg.n_text_state
     V = cfg.n_vocab
+    # int8 halves the block bytes: doubling the chunk keeps VMEM flat
+    # while halving the auto-pipelined grid's per-step overhead
+    CHUNK = 1024 if emb_int8 else 512
     nch = (V + CHUNK - 1) // CHUNK
     v_pad = nch * CHUNK
 
