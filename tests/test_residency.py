@@ -45,9 +45,16 @@ def test_eviction():
 
 
 def test_quantized_registry_smaller():
+    """int8 halves the decoder matmul weights. The quantized tree also
+    carries a deliberate extra leaf — the per-row int8 tok_emb copy for
+    the logits matmul (ops/quant.py) — so the comparison nets it out:
+    on tiny the (V, D) copy outweighs the matmul savings, on large it
+    is ~5× smaller than them."""
     bf16 = ModelRegistry(APISettings(quant="none")).get("tiny")
     q = ModelRegistry(APISettings(quant="int8")).get("tiny")
-    assert q.param_bytes < bf16.param_bytes
+    eq = q.params["decoder"]["tok_emb_q"]
+    emb_copy = eq["q"].size + eq["s"].size * 4
+    assert q.param_bytes - emb_copy < bf16.param_bytes
 
 
 def test_large_alias():

@@ -478,7 +478,7 @@ class XTTSModel:
         model.pth ships one waveform decoder; the reference's split only
         selected legacy variants).
 
-        first_chunk_size (default min(8, stream_chunk_size)): the FIRST
+        first_chunk_size (default min(6, stream_chunk_size)): the FIRST
         dispatch decodes fewer tokens so audio starts flowing sooner —
         time-to-first-byte drops by ~(chunk−first)·per-token-ms while
         steady-state chunks keep the full stream_chunk_size (an
@@ -539,7 +539,7 @@ class XTTSModel:
         key0 = jax.random.PRNGKey(seed)
         chunk = stream_chunk_size
         if first_chunk_size is None:
-            first_chunk_size = min(8, chunk)
+            first_chunk_size = min(6, chunk)
         first_chunk_size = max(1, min(first_chunk_size, chunk))
         # per-dispatch token counts: a short first chunk for TTFB, then
         # steady stream_chunk_size chunks up to the audio-token cap
