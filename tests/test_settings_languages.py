@@ -23,7 +23,9 @@ def test_settings_defaults():
     assert s.long_beam_size_threshold == 12000
     assert s.whisper_model_default == "medium"
     assert s.sv_threshold == 0.75
-    assert s.batch_bucket_list() == [1, 2, 4, 8]
+    # capped at 4 by default: batch-8 measured latency-negative on v5e
+    # (BENCH.md round 5); throughput deployments re-add "8" via env
+    assert s.batch_bucket_list() == [1, 2, 4]
 
 
 def test_settings_env_override(monkeypatch):

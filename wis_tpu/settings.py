@@ -140,8 +140,13 @@ class APISettings(BaseModel):
     #: decisions are computed against this instead of runtime VRAM probes
     hbm_budget_bytes: int = 16 * 1024**3
     #: batch-size buckets the decoder is compiled for; requests are padded
-    #: up to the nearest bucket (dynamic batcher)
-    batch_buckets: List[str] = ["1", "2", "4", "8"]
+    #: up to the nearest bucket (dynamic batcher). Capped at 4 by default:
+    #: measured on v5e large-v2 beam-5, per-request device cost stops
+    #: amortizing past bk≈20 (encoder + block-diagonal cross-KV scale
+    #: linearly), so a batch-8 dispatch serves 10-way load SLOWER than
+    #: two batch-4s (9.6 vs 13.9 req/s, p50 1048 vs 584 ms — BENCH.md
+    #: round 5). Add "8" back for throughput-over-latency deployments.
+    batch_buckets: List[str] = ["1", "2", "4"]
     #: beam-size compile buckets. Beam size is a COMPILE key on TPU (the
     #: reference's CT2 engine has no compile step and tolerates arbitrary
     #: beams, main.py:1174-1182): an unvalidated `?beam_size=40` would
