@@ -318,3 +318,32 @@ def test_engine_fault_returns_500(engine, monkeypatch):
         assert resp.status == 500
 
     _run(engine, go)
+
+
+def test_ws_session_rejects_oversize_beam(engine):
+    """The WS/datachannel path bucket-validates per-utterance beam
+    overrides BEFORE enqueue (a bad override must fail the utterance,
+    never trigger a compile or fail a coalesced batch)."""
+    import json as _json
+
+    async def go(client):
+        ws = await client.ws_connect("/api/ws/asr")
+        await ws.send_str(_json.dumps({"type": "start"}))
+        await ws.receive()  # log: recording started
+        rng = np.random.default_rng(0)
+        pcm = (rng.standard_normal(SAMPLE_RATE) * 0.05 * 32767).astype(
+            "<i2"
+        )
+        await ws.send_bytes(pcm.tobytes())
+        await ws.send_str(
+            _json.dumps({"type": "stop", "obj": {"beam_size": 40}})
+        )
+        msg = await ws.receive()
+        parsed = _json.loads(msg.data)
+        assert parsed["type"] == "error"
+        assert "beam" in parsed["obj"]["msg"]
+        await ws.close()
+
+    keys = set(engine._programs)
+    _run(engine, go)
+    assert set(engine._programs) == keys

@@ -284,7 +284,30 @@ class WhisperEngine:
             for beam in beams:
                 for _ in range(max(1, s.warmup_iterations)):
                     self.transcribe(audio, model=name, beam_size=beam, max_tokens=4)
-        logger.info("ENGINE: warmup complete (%s x beams %s)", models, beams)
+        # the dynamic batcher's coalesced top bucket is the hot program
+        # under concurrent load — warm it too, or the FIRST load wave
+        # pays its compile while clients queue (~50 s observed; BENCH.md
+        # round-5 loadtest cold-start caveat)
+        top = self.batch_bucket_list_top()
+        if top > 1:
+            from wis_tpu.runtime.batcher import ASRRequest
+
+            for name in models:
+                reqs = [
+                    ASRRequest(
+                        audio=audio, model=name, beam_size=s.beam_size,
+                        max_tokens=4,
+                    )
+                    for _ in range(top)
+                ]
+                self.transcribe_coalesced(reqs)
+        logger.info(
+            "ENGINE: warmup complete (%s x beams %s, coalesced bucket %d)",
+            models, beams, top,
+        )
+
+    def batch_bucket_list_top(self) -> int:
+        return self.settings.batch_bucket_list()[-1]
 
     # ------------------------------------------------------------------ #
     # Core execution helper: run padded windows through fused programs
