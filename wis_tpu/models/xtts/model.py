@@ -542,10 +542,18 @@ class XTTSModel:
             first_chunk_size = min(6, chunk)
         first_chunk_size = max(1, min(first_chunk_size, chunk))
         # per-dispatch token counts: a short first chunk for TTFB, then
-        # steady stream_chunk_size chunks up to the audio-token cap
+        # steady stream_chunk_size chunks, then one remainder chunk so a
+        # cap-length generation emits EVERY token up to max_audio_tokens
+        # (without it, first/chunk schedules that don't divide the cap
+        # silently dropped the final <chunk tokens of a runaway
+        # utterance; the remainder program only ever compiles for
+        # cap-length generations)
         sizes = [first_chunk_size]
         while sum(sizes) + chunk <= g.max_audio_tokens:
             sizes.append(chunk)
+        rem = g.max_audio_tokens - sum(sizes)
+        if rem > 0:
+            sizes.append(rem)
         max_chunks = len(sizes)
 
         if fused:
