@@ -269,13 +269,16 @@ def test_sv_auto_enabled_with_weights(engine, tmp_path, monkeypatch):
     (weights / "model.safetensors").write_bytes(b"\0" * 8)
     from wis_tpu.server import sv as sv_mod
 
-    assert sv_mod.sv_weights_present(str(weights))
-    assert not sv_mod.sv_weights_present(str(tmp_path / "missing"))
+    # the capability check follows settings.model_dir (<dir>/wavlm-base-plus-sv)
+    assert sv_mod.sv_weights_present(_settings(model_dir=str(tmp_path)))
+    assert not sv_mod.sv_weights_present(
+        _settings(model_dir=str(tmp_path / "missing"))
+    )
 
     import wis_tpu.server.app as app_mod
 
     monkeypatch.setattr(
-        app_mod, "sv_weights_present", lambda: True
+        app_mod, "sv_weights_present", lambda *a: True
     )
     s = _settings(sv_speaker_dir=str(tmp_path / "store"))
 
@@ -295,7 +298,7 @@ def test_sv_auto_enabled_with_weights(engine, tmp_path, monkeypatch):
 def test_explicit_support_sv_false_wins(engine, tmp_path, monkeypatch):
     import wis_tpu.server.app as app_mod
 
-    monkeypatch.setattr(app_mod, "sv_weights_present", lambda: True)
+    monkeypatch.setattr(app_mod, "sv_weights_present", lambda *a: True)
 
     async def go(client):
         resp = await client.post("/api/sv", data=_wav_bytes())

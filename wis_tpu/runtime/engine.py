@@ -104,7 +104,10 @@ class WhisperEngine:
         from collections import OrderedDict
 
         self._programs: "OrderedDict[tuple, object]" = OrderedDict()
-        self._compile_lock = threading.Lock()
+        # reentrant: _cached_program takes it for the LRU touch (an
+        # OrderedDict.move_to_end racing an insert corrupts the dict)
+        # and is also called inside the double-checked compile section
+        self._compile_lock = threading.RLock()
         # Serializes device work: JAX dispatch is thread-safe but ordering
         # compute explicitly keeps per-request latency predictable (the
         # dynamic batcher upstream owns cross-request coalescing).
@@ -199,17 +202,19 @@ class WhisperEngine:
             return prog, fused
 
     def _cached_program(self, key: tuple):
-        prog = self._programs.get(key)
-        if prog is not None:
-            self._programs.move_to_end(key)
-        return prog
+        with self._compile_lock:
+            prog = self._programs.get(key)
+            if prog is not None:
+                self._programs.move_to_end(key)
+            return prog
 
     def _store_program(self, key: tuple, prog) -> None:
-        self._programs[key] = prog
-        cap = max(1, int(self.settings.compile_cache_max))
-        while len(self._programs) > cap:
-            old_key, _ = self._programs.popitem(last=False)
-            logger.info("ENGINE: evicted compiled program %s", old_key)
+        with self._compile_lock:
+            self._programs[key] = prog
+            cap = max(1, int(self.settings.compile_cache_max))
+            while len(self._programs) > cap:
+                old_key, _ = self._programs.popitem(last=False)
+                logger.info("ENGINE: evicted compiled program %s", old_key)
 
     def _packed_decoder(self, model: LoadedModel):
         """Kernel-layout decoder weights, repacked once per model (HBM

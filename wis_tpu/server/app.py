@@ -437,7 +437,7 @@ def create_app(
     app["sv_enabled"] = (
         settings.support_sv
         if settings.support_sv is not None
-        else sv_weights_present()
+        else sv_weights_present(settings)
     )
     app["save_audio_path"] = os.path.join(
         static_root or "nginx/static", "audio", "willow.wav"

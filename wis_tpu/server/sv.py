@@ -37,13 +37,21 @@ def valid_speaker_name(name: Optional[str]) -> bool:
     return bool(name) and bool(_SPEAKER_NAME_RE.match(name))
 
 
-def sv_weights_present(model_dir: str = "models/wavlm-base-plus-sv") -> bool:
+def wavlm_dir(settings: Optional[APISettings] = None) -> str:
+    """The WavLM checkpoint directory: <model_dir>/wavlm-base-plus-sv
+    (the whisper sizes live at <model_dir>/<size> the same way)."""
+    settings = settings or get_api_settings()
+    return os.path.join(settings.model_dir, "wavlm-base-plus-sv")
+
+
+def sv_weights_present(settings: Optional[APISettings] = None) -> bool:
     """True iff a converted WavLM checkpoint exists — the capability test
     behind support_sv's auto mode (reference main.py:266-292 gates SV on
     device capability; here capability = real weights on disk, since a
     random-weight embedder can only produce meaningless scores)."""
-    return os.path.isdir(model_dir) and any(
-        f.endswith((".safetensors", ".npz")) for f in os.listdir(model_dir)
+    d = wavlm_dir(settings)
+    return os.path.isdir(d) and any(
+        f.endswith((".safetensors", ".npz")) for f in os.listdir(d)
     )
 
 
@@ -86,7 +94,9 @@ class SpeakerVerifier:
                 if self._embed_fn is None:
                     from wis_tpu.models.wavlm import default_embedder
 
-                    self._embed_fn = default_embedder()
+                    self._embed_fn = default_embedder(
+                        wavlm_dir(self.settings)
+                    )
         return np.asarray(self._embed_fn(sox_norm_trim(audio))).reshape(-1)
 
     # ------------------------------------------------------------------ #
