@@ -215,3 +215,38 @@ def test_steady_state_latency_batch(engine):
         iters=2, repeats=1, batch=4,
     )
     assert ss["device_ms"] >= 0.0
+
+
+def test_warmup_compiles_coalesced_bucket():
+    """Server boot must pre-compile the dynamic batcher's top coalesced
+    bucket — the first load wave otherwise pays its compile while
+    clients queue (BENCH.md round-5 loadtest cold-start)."""
+    s = APISettings(
+        whisper_model_default="tiny",
+        max_decode_tokens=4,
+        decode_token_buckets=["4"],
+        batch_buckets=["1", "2"],
+        warmup_iterations=1,
+    )
+    eng = WhisperEngine(ModelRegistry(s), s)
+    eng.warmup()
+    batches = {k[2] for k in eng._programs if isinstance(k, tuple) and len(k) > 2}
+    assert 2 in batches  # the coalesced top bucket
+    assert 1 in batches  # the single-request programs
+
+
+def test_xa_quant_none_disables_int8_cross_kv():
+    s = APISettings(
+        whisper_model_default="tiny",
+        max_decode_tokens=4,
+        decode_token_buckets=["4"],
+        batch_buckets=["1"],
+        xa_quant="none",
+        fused_decode="on",
+    )
+    eng = WhisperEngine(ModelRegistry(s), s)
+    assert not eng._xa_int8()
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(SAMPLE_RATE) * 0.05).astype(np.float32)
+    res = eng.transcribe(audio, model="tiny", beam_size=1, max_tokens=2)
+    assert res.language
