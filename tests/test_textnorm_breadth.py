@@ -149,8 +149,55 @@ def test_decimal_comma_new_languages():
     assert preprocess_text("3,14", "nl") == "drie komma een vier"
 
 
+@pytest.mark.parametrize(
+    "n,words",
+    [
+        (0, "sıfır"), (5, "beş"), (11, "on bir"), (21, "yirmi bir"),
+        (100, "yüz"), (200, "iki yüz"), (345, "üç yüz kırk beş"),
+        (1000, "bin"), (2000, "iki bin"),
+        (1_000_000, "bir milyon"), (-3, "eksi üç"),
+    ],
+)
+def test_num_tr(n, words):
+    from wis_tpu.models.xtts.textnorm import num_tr
+
+    assert num_tr(n) == words
+
+
+@pytest.mark.parametrize(
+    "n,words",
+    [
+        (0, "nula"), (2, "dva"), (15, "patnáct"),
+        (21, "dvacet jedna"), (100, "sto"), (200, "dvě stě"),
+        (500, "pět set"), (1000, "tisíc"), (2000, "dva tisíce"),
+        (5000, "pět tisíc"), (1_000_000, "milion"),
+        (2_000_000, "dva miliony"), (-7, "minus sedm"),
+    ],
+)
+def test_num_cs(n, words):
+    from wis_tpu.models.xtts.textnorm import num_cs
+
+    assert num_cs(n) == words
+
+
+def test_preprocess_turkish_percent_prefix():
+    # Turkish writes %50 and SPEAKS the percent first: yüzde elli
+    assert preprocess_text("%50", "tr") == "yüzde elli"
+    out = preprocess_text("Dr. Yılmaz %25 indirim aldı", "tr")
+    assert "doktor yılmaz" in out
+    assert "yüzde yirmi beş" in out
+
+
+def test_preprocess_czech():
+    out = preprocess_text("Dr. Novák zaplatil $5 za 2 lístky", "cs")
+    assert "doktor novák" in out
+    assert "pět dolarů" in out  # genitive plural agreement
+    assert "dva lístky" in out
+    assert preprocess_text("3,5", "cs") == "tři celá pět"
+
+
 def test_uncovered_languages_pass_digits_through():
-    # tr/cs/ar/zh-cn/hu/ko/ja have no number tables: digits survive,
+    # ar/zh-cn/hu/ko/ja have no number tables: digits survive,
     # language-independent steps (lowercase, quotes, whitespace) apply
-    for lang in ("tr", "cs", "ar", "zh-cn", "hu", "ko", "ja"):
+    for lang in ("ar", "zh-cn", "hu", "ko", "ja"):
         assert preprocess_text('He said "42"', lang) == "he said 42"

@@ -10,13 +10,14 @@ trained almost entirely on cleaned text — real checkpoints mispronounce
 or drop them. This module re-implements the contract from scratch:
 
 - number → words: full cardinal/decimal/currency support for en, es,
-  fr, de, it, pt, pl, ru, nl (each written from the standard grammar of
-  its language, not ported; English additionally expands ordinals);
-  the remaining XTTS languages (tr, cs, ar, zh-cn, hu, ko, ja) pass
-  digits through unchanged (the BPE still encodes them — degraded,
-  never wrong-language words).
+  fr, de, it, pt, pl, ru, nl, tr, cs (each written from the standard
+  grammar of its language, not ported; English additionally expands
+  ordinals; Turkish speaks the percent sign before the number); the
+  remaining XTTS languages (ar, zh-cn, hu, ko, ja) pass digits through
+  unchanged (the BPE still encodes them — degraded, never
+  wrong-language words).
 - abbreviation and symbol tables per covered language; Slavic
-  one/few/many plural agreement for pl/ru currency units.
+  one/few/many plural agreement for pl/ru/cs currency units.
 - Turkish dotted-İ lowering, quote stripping, whitespace collapse for
   every language.
 
@@ -573,9 +574,111 @@ def num_nl(n: int) -> str:
     return " ".join(parts)
 
 
+# --------------------------------------------------------------------------- #
+# Turkish numbers (strictly positional, space-joined)
+# --------------------------------------------------------------------------- #
+
+_TR_UNITS = [
+    "sıfır", "bir", "iki", "üç", "dört", "beş", "altı", "yedi", "sekiz",
+    "dokuz",
+]
+_TR_TENS = [
+    "", "on", "yirmi", "otuz", "kırk", "elli", "altmış", "yetmiş",
+    "seksen", "doksan",
+]
+
+
+def _tr_under_1000(n: int) -> str:
+    parts = []
+    if n >= 100:
+        h = n // 100
+        parts.append(("" if h == 1 else _TR_UNITS[h] + " ") + "yüz")
+        n %= 100
+    if n >= 10:
+        parts.append(_TR_TENS[n // 10])
+        n %= 10
+    if n > 0 or not parts:
+        parts.append(_TR_UNITS[n])
+    return " ".join(parts)
+
+
+def num_tr(n: int) -> str:
+    if n < 0:
+        return "eksi " + num_tr(-n)
+    if n == 0:
+        return "sıfır"
+    parts = []
+    if n >= 10 ** 6:
+        m = n // 10 ** 6
+        parts.append(num_tr(m) + " milyon")
+        n %= 10 ** 6
+    if n >= 1000:
+        k = n // 1000
+        parts.append(("" if k == 1 else _tr_under_1000(k) + " ") + "bin")
+        n %= 1000
+    if n:
+        parts.append(_tr_under_1000(n))
+    return " ".join(parts)
+
+
+# --------------------------------------------------------------------------- #
+# Czech numbers (one/few/many group agreement, shared Slavic rule)
+# --------------------------------------------------------------------------- #
+
+_CS_UNITS = [
+    "nula", "jedna", "dva", "tři", "čtyři", "pět", "šest", "sedm",
+    "osm", "devět", "deset", "jedenáct", "dvanáct", "třináct",
+    "čtrnáct", "patnáct", "šestnáct", "sedmnáct", "osmnáct",
+    "devatenáct",
+]
+_CS_TENS = [
+    "", "", "dvacet", "třicet", "čtyřicet", "padesát", "šedesát",
+    "sedmdesát", "osmdesát", "devadesát",
+]
+_CS_HUNDREDS = [
+    "", "sto", "dvě stě", "tři sta", "čtyři sta", "pět set", "šest set",
+    "sedm set", "osm set", "devět set",
+]
+
+
+def _cs_under_1000(n: int) -> str:
+    parts = []
+    if n >= 100:
+        parts.append(_CS_HUNDREDS[n // 100])
+        n %= 100
+    if n >= 20:
+        parts.append(_CS_TENS[n // 10])
+        n %= 10
+    if n > 0 or not parts:
+        parts.append(_CS_UNITS[n])
+    return " ".join(parts)
+
+
+def num_cs(n: int) -> str:
+    if n < 0:
+        return "minus " + num_cs(-n)
+    if n == 0:
+        return "nula"
+    parts = []
+    if n >= 10 ** 6:
+        m = n // 10 ** 6
+        word = _slavic_form(m, ("milion", "miliony", "milionů"))
+        parts.append(word if m == 1 else num_cs(m) + " " + word)
+        n %= 10 ** 6
+    if n >= 1000:
+        k = n // 1000
+        word = _slavic_form(k, ("tisíc", "tisíce", "tisíc"))
+        parts.append(word if k == 1 else _cs_under_1000(k) + " " + word)
+        n %= 1000
+    if n:
+        parts.append(_cs_under_1000(n))
+    return " ".join(parts)
+
+
 _NUM_FN = {
     "en": num_en, "es": num_es, "fr": num_fr, "de": num_de,
     "it": num_it, "pt": num_pt, "pl": num_pl, "ru": num_ru, "nl": num_nl,
+    "tr": num_tr, "cs": num_cs,
 }
 
 # --------------------------------------------------------------------------- #
@@ -617,15 +720,23 @@ _CURRENCY = {
     "nl": {"$": (("dollar",), ("cent",)),
            "£": (("pond",), ("penny",)),
            "€": (("euro",), ("cent",))},
+    "tr": {"$": (("dolar",), ("sent",)),
+           "£": (("sterlin",), ("peni",)),
+           "€": (("avro",), ("sent",))},
+    "cs": {"$": (("dolar", "dolary", "dolarů"),
+                 ("cent", "centy", "centů")),
+           "£": (("libra", "libry", "liber"), ("pence",)),
+           "€": (("euro", "eura", "eur"),
+                 ("cent", "centy", "centů"))},
 }
 _DECIMAL_POINT = {
     "en": "point", "es": "coma", "fr": "virgule", "de": "komma",
     "it": "virgola", "pt": "vírgula", "pl": "przecinek", "ru": "запятая",
-    "nl": "komma",
+    "nl": "komma", "tr": "virgül", "cs": "celá",
 }
 _AND_WORD = {
     "en": "and", "es": "con", "fr": "et", "de": "und", "it": "e",
-    "pt": "e", "pl": "i", "ru": "и", "nl": "en",
+    "pt": "e", "pl": "i", "ru": "и", "nl": "en", "tr": "ve", "cs": "a",
 }
 
 
@@ -682,6 +793,14 @@ _ABBREV = {
         "dhr": "de heer", "mevr": "mevrouw", "dr": "dokter",
         "st": "sint", "nr": "nummer", "enz": "enzovoort",
     },
+    "tr": {
+        "dr": "doktor", "cad": "cadde", "sok": "sokak",
+        "vb": "ve benzeri", "vs": "vesaire",
+    },
+    "cs": {
+        "dr": "doktor", "ul": "ulice", "např": "například",
+        "atd": "a tak dále", "tzv": "takzvaný",
+    },
 }
 
 _SYMBOLS = {
@@ -703,6 +822,10 @@ _SYMBOLS = {
            "#": " решётка ", "°": " градусов "},
     "nl": {"&": " en ", "@": " apenstaartje ", "%": " procent ",
            "#": " hekje ", "°": " graden "},
+    "tr": {"&": " ve ", "@": " et ", "%": " yüzde ",
+           "#": " kare ", "°": " derece "},
+    "cs": {"&": " a ", "@": " zavináč ", "%": " procent ",
+           "#": " mřížka ", "°": " stupňů "},
 }
 
 _WHITESPACE_RE = re.compile(r"\s+")
@@ -741,11 +864,18 @@ def _expand_decimal(m: re.Match, lang: str) -> str:
     return num(int(m.group(1))) + " " + _DECIMAL_POINT[lang] + " " + digits
 
 
+_TR_PERCENT_RE = re.compile(r"%\s*(\d)")
+
+
 def expand_numbers(text: str, lang: str) -> str:
     """Digits → words for the covered languages; pass-through otherwise."""
     if lang not in _NUM_FN:
         return text
     num = _NUM_FN[lang]
+    if lang == "tr":
+        # Turkish writes the percent sign BEFORE the number (%50) and
+        # speaks it first (yüzde elli) — rewrite before digit expansion
+        text = _TR_PERCENT_RE.sub(r"yüzde \1", text)
     text = _COMMA_GROUP_RE.sub(r"\1\2", text)
     text = _CURRENCY_RE.sub(lambda m: _expand_currency(m, lang), text)
     if lang == "en":
