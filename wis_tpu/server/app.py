@@ -388,10 +388,33 @@ async def openapi(request: web.Request) -> web.Response:
 
 
 async def docs(request: web.Request) -> web.Response:
+    """Swagger UI over /api/openapi.json — the same CDN-loaded page
+    FastAPI serves at /api/docs (reference main.py:1035 app docs_url;
+    FastAPI's get_swagger_ui_html uses the same asset host). Offline
+    deployments still get the embedded fallback link."""
+    settings: APISettings = request.app["settings"]
     return web.Response(
-        text="<html><body><h1>Willow Inference Server (TPU)</h1>"
-        '<p>OpenAPI: <a href="/api/openapi.json">/api/openapi.json</a></p>'
-        "</body></html>",
+        text=f"""<!DOCTYPE html>
+<html>
+<head>
+  <title>{settings.name} — docs</title>
+  <link rel="stylesheet"
+        href="https://cdn.jsdelivr.net/npm/swagger-ui-dist@5/swagger-ui.css">
+</head>
+<body>
+  <div id="swagger-ui">
+    <h1>{settings.name}</h1>
+    <p>OpenAPI schema: <a href="/api/openapi.json">/api/openapi.json</a>
+    (interactive docs render when the Swagger UI assets are reachable)</p>
+  </div>
+  <script src="https://cdn.jsdelivr.net/npm/swagger-ui-dist@5/swagger-ui-bundle.js"></script>
+  <script>
+    if (window.SwaggerUIBundle) {{
+      SwaggerUIBundle({{url: "/api/openapi.json", dom_id: "#swagger-ui"}});
+    }}
+  </script>
+</body>
+</html>""",
         content_type="text/html",
     )
 
