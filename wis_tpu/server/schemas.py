@@ -54,7 +54,23 @@ def openapi_document(settings) -> dict:
                 "post": {
                     "summary": "Submit audio file for ASR",
                     "parameters": [
-                        {"name": p, "in": "query", "required": False}
+                        (
+                            {
+                                "name": p,
+                                "in": "query",
+                                "required": False,
+                                "description": (
+                                    "beam width; rounds UP to the nearest "
+                                    "compiled beam bucket "
+                                    f"({sorted(int(b) for b in settings.beam_buckets)}); "
+                                    "values above the largest bucket are "
+                                    "rejected with 400 (beam size is a "
+                                    "compile key on TPU)"
+                                ),
+                            }
+                            if p == "beam_size"
+                            else {"name": p, "in": "query", "required": False}
+                        )
                         for p in (
                             "model",
                             "detect_language",
